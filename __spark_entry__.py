@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+The engine under test is ``stanford_relation_extractor_spark``; the
+synthetic transcripts corpus is a shared Spark/DuckDB SQL recipe
+(sources/synthetic.py), so oracle queries reconstruct the identical
+input from the pre-registered parquet views and then assert the
+*construction-time ground truth* (sources/oracle_rules.py) — never by
+re-running engine code.
 """
 
 from __future__ import annotations
@@ -12,27 +18,115 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_0001 = "/root/testdata/sf0.001"
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stanford_relation_extractor_spark.sources.synthetic import transcripts_df
+
+    return transcripts_df(spark, sf_dir).select("conv_id", "turn_idx", "role", "text", "tool")
+
+
+def _turn_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stanford_relation_extractor_spark.operators.ordering import with_turn_order
+    from stanford_relation_extractor_spark.sources.synthetic import transcripts_df
+
+    return with_turn_order(transcripts_df(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "turn_seq", "text"
+    )
+
+
+def _sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stanford_relation_extractor_spark.plans.pipeline import build_stages
+
+    return build_stages(spark, sf_dir)["sentences"].select(
+        "conv_id", "turn_idx", "sent_idx", "sent_text"
+    )
+
+
+def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stanford_relation_extractor_spark.plans.pipeline import build_stages
+
+    sentences = build_stages(spark, sf_dir)["sentences"]
+    m = sentences.select(
+        "conv_id", "turn_idx", "sent_idx", F.explode("mentions").alias("m")
+    )
+    return m.select(
+        "conv_id", "turn_idx", "sent_idx",
+        F.col("m.surface").alias("surface"),
+        F.col("m.ner").alias("ner"),
+    )
+
+
+def _votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stanford_relation_extractor_spark.plans.pipeline import build_stages
+
+    return build_stages(spark, sf_dir)["votes"].select(
+        "conv_id", "turn_idx", "entity_name", "entity_type",
+        "slot_value", "slot_ner", "relation", "extractor", "score",
+    )
+
+
+def _ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stanford_relation_extractor_spark.plans.pipeline import build_stages
+
+    return build_stages(spark, sf_dir)["candidates"].select(
+        "entity_name", "entity_type", "relation", "slot_value", "slot_ner",
+        "n_agree", "score",
+    )
+
+
+def _final_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stanford_relation_extractor_spark.plans.pipeline import build_stages
+
+    return build_stages(spark, sf_dir)["triples"].select(
+        "entity_name", "entity_type", "relation", "slot_value", "slot_ner",
+        "n_agree", "score",
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG-construction pipeline on sf0.001."""
+    from stanford_relation_extractor_spark.plans.pipeline import final_triples
+
+    return final_triples(spark, SF_0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "transcripts_synth": _transcripts,
+        "turn_order": _turn_order,
+        "sentences": _sentences,
+        "mentions": _mentions,
+        "extractor_votes": _votes,
+        "ensemble_noisy_or": _ensemble,
+        "final_triples": _final_triples,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from stanford_relation_extractor_spark.sources import oracle_rules as orc
+    from stanford_relation_extractor_spark.sources.synthetic import oracle_query
+
+    return {
+        "transcripts_synth": oracle_query(
+            "SELECT conv_id, turn_idx, role, text, tool FROM transcripts"
+        ),
+        "turn_order": oracle_query(
+            "SELECT conv_id, turn_idx, "
+            "CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS INT) AS turn_seq, "
+            "text FROM transcripts"
+        ),
+        "sentences": oracle_query(
+            "SELECT conv_id, turn_idx, 0 AS sent_idx, main_sent AS sent_text FROM turns_base "
+            "UNION ALL "
+            "SELECT conv_id, turn_idx, 1 AS sent_idx, 'Thanks for the update .' AS sent_text "
+            "FROM turns_base WHERE filler <> ''"
+        ),
+        "mentions": orc.mentions_sql(),
+        "extractor_votes": orc.votes_sql(),
+        "ensemble_noisy_or": orc.ensemble_sql(),
+        "final_triples": orc.final_triples_sql(),
+    }

@@ -1,0 +1,139 @@
+"""The closed relation / NE-type ontology.
+
+Re-states (as plain data, no code copied) the enum tables of the
+reference:
+
+* 18 NE tags — ``stanford-kbp/src/main/java/edu/stanford/nlp/kbp/common/NERTag.java:8-28``
+* 41 relations, each with entity type, cardinality, valid slot NE
+  labels, valid POS prefixes, and prior probability —
+  ``.../common/RelationType.java:23-67`` (priors ``:84-105``)
+
+These drive the type-check joins (SURVEY.md P4/P6), the cardinality
+top-1 window (W2), and the window-extractor's normalized type-prior
+votes (A6-shaped). All are tiny dimension tables: broadcast always.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+
+# --- NE tags (NERTag.java:8-28) --------------------------------------------
+NER_TAGS: tuple[str, ...] = (
+    "CAUSE_OF_DEATH",
+    "CITY",
+    "COUNTRY",
+    "CRIMINAL_CHARGE",
+    "DATE",
+    "DURATION",
+    "IDEOLOGY",
+    "LOCATION",
+    "MISC",
+    "MODIFIER",
+    "NATIONALITY",
+    "NUMBER",
+    "ORGANIZATION",
+    "PERSON",
+    "RELIGION",
+    "STATE_OR_PROVINCE",
+    "TITLE",
+    "URL",
+)
+
+SINGLE = "SINGLE"
+LIST = "LIST"
+
+
+@dataclass(frozen=True)
+class Relation:
+    name: str
+    entity_type: str  # PERSON | ORGANIZATION
+    cardinality: str  # SINGLE | LIST
+    valid_slot_ners: tuple[str, ...]
+    valid_pos_prefixes: tuple[str, ...]
+    prior: float
+
+
+# RelationType.java:24-66, values restated verbatim.
+RELATIONS: tuple[Relation, ...] = (
+    Relation("per:alternate_names", "PERSON", LIST, ("PERSON", "MISC"), ("NNP",), 0.0353027270308107100),
+    Relation("per:children", "PERSON", LIST, ("PERSON",), ("NNP",), 0.0058428110284504410),
+    Relation("per:cities_of_residence", "PERSON", LIST, ("CITY", "LOCATION"), ("NNP",), 0.0136105679675116560),
+    Relation("per:city_of_birth", "PERSON", SINGLE, ("CITY", "LOCATION"), ("NNP",), 0.0358146961159769100),
+    Relation("per:city_of_death", "PERSON", SINGLE, ("CITY", "LOCATION"), ("NNP",), 0.0102003332137774650),
+    Relation("per:countries_of_residence", "PERSON", LIST, ("COUNTRY", "LOCATION"), ("NNP",), 0.0107788293552082020),
+    Relation("per:country_of_birth", "PERSON", SINGLE, ("COUNTRY", "LOCATION"), ("NNP",), 0.0223444134627622040),
+    Relation("per:country_of_death", "PERSON", SINGLE, ("COUNTRY", "LOCATION"), ("NNP",), 0.0060626395621941200),
+    Relation("per:employee_of", "PERSON", LIST, ("ORGANIZATION", "COUNTRY", "STATE_OR_PROVINCE", "CITY"), ("NNP",), 0.0335281901169719200),
+    Relation("per:member_of", "PERSON", LIST, ("ORGANIZATION",), ("NNP",), 0.0521716745149309900),
+    Relation("per:origin", "PERSON", LIST, ("NATIONALITY", "COUNTRY", "LOCATION"), ("NNP",), 0.0069795559463618380),
+    Relation("per:other_family", "PERSON", LIST, ("PERSON",), ("NNP",), 2.7478566717959990e-5),
+    Relation("per:parents", "PERSON", LIST, ("PERSON",), ("NNP",), 0.0032222235077692030),
+    Relation("per:schools_attended", "PERSON", LIST, ("ORGANIZATION",), ("NNP",), 0.0054696810172276150),
+    Relation("per:siblings", "PERSON", LIST, ("PERSON",), ("NNP",), 1.000000000000000e-99),
+    Relation("per:spouse", "PERSON", LIST, ("PERSON",), ("NNP",), 0.0164075968113292680),
+    Relation("per:stateorprovince_of_birth", "PERSON", SINGLE, ("STATE_OR_PROVINCE", "LOCATION"), ("NNP",), 0.0165825918941120660),
+    Relation("per:stateorprovince_of_death", "PERSON", SINGLE, ("STATE_OR_PROVINCE", "LOCATION"), ("NNP",), 0.0050083303444366030),
+    Relation("per:stateorprovinces_of_residence", "PERSON", LIST, ("STATE_OR_PROVINCE", "LOCATION"), ("NNP",), 0.0066787379528178550),
+    Relation("per:age", "PERSON", SINGLE, ("NUMBER", "DURATION"), ("CD", "NN"), 0.0483159977322951300),
+    Relation("per:date_of_birth", "PERSON", SINGLE, ("DATE",), ("CD", "NN"), 0.0743584477791533200),
+    Relation("per:date_of_death", "PERSON", SINGLE, ("DATE",), ("CD", "NN"), 0.0189819046406960460),
+    Relation("per:cause_of_death", "PERSON", SINGLE, ("CAUSE_OF_DEATH",), ("NN",), 1.0123682475037891e-5),
+    Relation("per:charges", "PERSON", LIST, ("CRIMINAL_CHARGE",), ("NN",), 3.8614617440501670e-4),
+    Relation("per:religion", "PERSON", SINGLE, ("RELIGION",), ("NN",), 7.6650738739572610e-4),
+    Relation("per:title", "PERSON", LIST, ("TITLE", "MODIFIER"), ("NN",), 0.0334283995325751200),
+    Relation("org:alternate_names", "ORGANIZATION", LIST, ("ORGANIZATION", "MISC"), ("NNP",), 0.0552058867767352000),
+    Relation("org:city_of_headquarters", "ORGANIZATION", SINGLE, ("CITY", "LOCATION"), ("NNP",), 0.0555949254318473740),
+    Relation("org:country_of_headquarters", "ORGANIZATION", SINGLE, ("COUNTRY", "LOCATION"), ("NNP",), 0.0580217167451493100),
+    Relation("org:founded_by", "ORGANIZATION", LIST, ("PERSON", "ORGANIZATION"), ("NNP",), 0.0050806423621154450),
+    Relation("org:member_of", "ORGANIZATION", LIST, ("ORGANIZATION", "LOCATION", "COUNTRY", "STATE_OR_PROVINCE"), ("NNP",), 0.0396298781687126140),
+    Relation("org:members", "ORGANIZATION", LIST, ("ORGANIZATION", "COUNTRY"), ("NNP",), 0.0012220730987724312),
+    Relation("org:parents", "ORGANIZATION", LIST, ("ORGANIZATION", "LOCATION", "COUNTRY", "STATE_OR_PROVINCE"), ("NNP",), 0.0550048593675880200),
+    Relation("org:political/religious_affiliation", "ORGANIZATION", LIST, ("IDEOLOGY", "RELIGION"), ("NN", "JJ"), 0.0059266929689578970),
+    Relation("org:shareholders", "ORGANIZATION", LIST, ("PERSON", "ORGANIZATION"), ("NNP",), 1.1569922828614734e-5),
+    Relation("org:stateorprovince_of_headquarters", "ORGANIZATION", SINGLE, ("STATE_OR_PROVINCE", "LOCATION"), ("NNP",), 0.0312619314829170100),
+    Relation("org:subsidiaries", "ORGANIZATION", LIST, ("ORGANIZATION",), ("NNP",), 0.0162412791706679320),
+    Relation("org:top_members/employees", "ORGANIZATION", LIST, ("PERSON",), ("NNP",), 0.0907168724184609800),
+    Relation("org:dissolved", "ORGANIZATION", SINGLE, ("DATE",), ("CD", "NN"), 0.0023877428237553656),
+    Relation("org:founded", "ORGANIZATION", SINGLE, ("DATE",), ("CD", "NN"), 0.0796314401082944800),
+    Relation("org:number_of_employees/members", "ORGANIZATION", SINGLE, ("NUMBER",), ("CD", "NN"), 0.0366274831946870950),
+    Relation("org:website", "ORGANIZATION", SINGLE, ("URL",), ("NNP", "NN"), 0.0051544006201478640),
+)
+
+RELATION_BY_NAME: dict[str, Relation] = {r.name: r for r in RELATIONS}
+
+# Global score threshold (Props.java:480) applied by the consistency
+# stage (HeuristicSlotfillPostProcessors.FilterVeryLowProbabilitySlots).
+GLOBAL_SCORE_THRESHOLD = 0.5
+
+# Entity-slot max token distance (Props.java:837 / Utils.java:353-365).
+MAX_ENTITY_SLOT_DISTANCE = 1000
+
+
+@lru_cache(maxsize=None)
+def compatible_relations(entity_type: str, slot_ner: str) -> tuple[str, ...]:
+    """Relations whose signature admits (entity_type, slot_ner).
+
+    Mirrors RelationType.plausiblyHasRelation (RelationType.java:239-246)
+    restricted to an exact slot-NER membership test.
+    """
+    return tuple(
+        r.name
+        for r in RELATIONS
+        if r.entity_type == entity_type and slot_ner in r.valid_slot_ners
+    )
+
+
+def relation_schema_df(spark: SparkSession) -> DataFrame:
+    """The relation ontology as a (broadcastable) DataFrame dimension."""
+    rows = [
+        (r.name, r.entity_type, r.cardinality, list(r.valid_slot_ners), list(r.valid_pos_prefixes), r.prior)
+        for r in RELATIONS
+    ]
+    return spark.createDataFrame(
+        rows,
+        "relation string, entity_type string, cardinality string, "
+        "valid_slot_ners array<string>, valid_pos_prefixes array<string>, prior double",
+    )

@@ -1,0 +1,275 @@
+"""Stage 2 — per-sentence pair generation + per-extractor relation votes.
+
+Re-expresses the reference's extractor ensemble members over sentence
+rows produced by stage 1:
+
+* ``pattern``  — the TokensRegex rule family
+  (`stanford-kbp/.../slotfilling/classify/TokensRegexExtractor.java:31-115`;
+  rules like `stanford-kbp/edu/stanford/nlp/kbp/per_age.rules:1-9`)
+  recompiled as surface regexes over a *masked* sentence in which the
+  candidate entity span is replaced by the sentinel ``⟨E⟩`` and the
+  candidate slot span by ``⟨S⟩``. Rule extractors emit "certain"
+  (+inf) scores in the reference (`HeuristicRelationExtractor.java:77`);
+  we normalize to weight 0.9 votes (SURVEY.md §7 risk note).
+* ``trigger``  — the Semgrex dependency-pattern family
+  (`.../classify/SemgrexExtractor.java:35-176`) re-expressed as loose
+  keyword-between-spans co-occurrence patterns (documented stand-in,
+  SURVEY.md F12); weight 0.8.
+* ``window``   — the statistical classifier's shape (one-vs-all with
+  per-group normalization, `.../classify/OneVsAllRelationExtractor.java:77-140`
+  + `RelationClassifier.java:42-52`): every type-compatible pair in the
+  sentence votes for each admissible relation with weight
+  0.4 / |admissible relations| — mass normalized across relations like
+  `Counters.normalize` (A4), so a lone window vote (max 0.4) always
+  falls below the global 0.5 threshold and only corroborates.
+
+Pair generation itself mirrors `RelationMentionAnnotator.java:95-251`:
+entity mentions are PERSON/ORGANIZATION spans; slots are all other
+mentions in the same sentence (plausibility-gated by the relation
+signature table, P4), subject to the span-distance predicate (P5).
+The per-sentence cross join happens *inside* the Arrow batch — mention
+lists are tiny, so no shuffle join is ever issued for pairing (J3).
+
+All three extractors run in ONE ``mapInPandas`` pass over the same
+scan — N score columns from one pass rather than N passes (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from ..ontology import MAX_ENTITY_SLOT_DISTANCE, compatible_relations
+
+E = "⟨E⟩"
+S = "⟨S⟩"
+
+ENTITY_TYPES = ("PERSON", "ORGANIZATION")
+
+PATTERN_WEIGHT = 0.9
+TRIGGER_WEIGHT = 0.8
+WINDOW_WEIGHT = 0.4
+
+_TOP_TITLE = (
+    r"(?:president|chairman|chairwoman|minister|executive|chief|ceo|director|"
+    r"head|founder|officer|leader|governor|senator|mayor)"
+)
+
+# --- pattern bank: relation -> surface regexes over the masked sentence.
+# First match wins per (pair, relation) — the reference short-circuits
+# per relation too (TokensRegexExtractor.java:101-113).
+PATTERN_BANK: dict[str, list[str]] = {
+    # per_age.rules:1-9
+    "per:age": [
+        rf"{E} , {S} ,",
+        rf"{E} \( {S} \)",
+        rf"{E} (?:\S+ )?{S} years? ?-? ?old",
+        rf"{E} (?:\S+ )?{S} years of age",
+        rf"{E} (?:will )?(?:be|is|was|turns?|turned) {S}",
+        rf"{S} (?:years? ?-? ?old )?(?:\S+ ){{0,4}}{E}",
+    ],
+    # per_cities_of_residence.rules / per_countries_of_residence.rules family
+    "per:cities_of_residence": [rf"{E}[^.]*\b(?:lives|lived|resides|resided|residing) in {S}"],
+    "per:countries_of_residence": [rf"{E}[^.]*\b(?:lives|lived|resides|resided|residing) in {S}"],
+    "per:stateorprovinces_of_residence": [rf"{E}[^.]*\b(?:lives|lived|resides|resided|residing) in {S}"],
+    # per_city_of_birth.rules / per_country_of_birth.rules
+    "per:city_of_birth": [rf"{E}[^.]*\bborn in {S}"],
+    "per:country_of_birth": [rf"{E}[^.]*\bborn in {S}"],
+    "per:stateorprovince_of_birth": [rf"{E}[^.]*\bborn in {S}"],
+    "per:date_of_birth": [rf"{E}[^.]*\bborn\b[^.]*{S}"],
+    # per_city_of_death.rules family
+    "per:city_of_death": [rf"{E}[^.]*\bdied in {S}"],
+    "per:country_of_death": [rf"{E}[^.]*\bdied in {S}"],
+    "per:stateorprovince_of_death": [rf"{E}[^.]*\bdied in {S}"],
+    "per:date_of_death": [rf"{E}[^.]*\bdied\b[^.]*{S}"],
+    # per_employee_of.rules
+    "per:employee_of": [
+        rf"{E}[^.]*\bworks? for {S}",
+        rf"{E}[^.]*\bworked for {S}",
+        rf"{E} , (?:the|an?) \S+ of {S}",
+        rf"{E}[^.]*\bemployee of {S}",
+    ],
+    "per:member_of": [rf"{E}[^.]*\bmember of {S}"],
+    "per:schools_attended": [rf"{E}[^.]*\b(?:attended|graduated from|studied at) {S}"],
+    # per_spouse.rules
+    "per:spouse": [rf"{E}[^.]*\b(?:married to|wife|husband|spouse)\b[^.]*{S}"],
+    "per:children": [rf"{E} 's (?:son|daughter|child) ,? {S}", rf"{S} , (?:son|daughter|child) of {E}"],
+    "per:parents": [rf"{E} , (?:son|daughter|child) of {S}", rf"{S} 's (?:son|daughter|child) ,? {E}"],
+    "per:siblings": [rf"{E}[^.]*\b(?:brother|sister|sibling)\b[^.]*{S}"],
+    "per:title": [rf"{E} , (?:the|an?) {S}", rf"{S} {E}"],
+    "per:origin": [rf"{E}[^.]*\bcitizen of {S}", rf"{E} , (?:an?|the) {S} (?:citizen|national)"],
+    "per:religion": [rf"{E}[^.]*\b(?:converted to|practices|practiced) {S}"],
+    "per:charges": [rf"{E}[^.]*\b(?:charged with|convicted of|accused of) {S}"],
+    "per:cause_of_death": [rf"{E}[^.]*\bdied (?:of|from) {S}"],
+    # org_*.rules
+    "org:city_of_headquarters": [rf"{E}[^.]*\b(?:headquartered|based|headquarters) in {S}"],
+    "org:country_of_headquarters": [rf"{E}[^.]*\b(?:headquartered|based|headquarters) in {S}"],
+    "org:stateorprovince_of_headquarters": [rf"{E}[^.]*\b(?:headquartered|based|headquarters) in {S}"],
+    "org:founded_by": [rf"{E}[^.]*\b(?:founded|established|started) by {S}"],
+    "org:founded": [rf"{E}[^.]*\b(?:founded|established)\b[^.]*{S}"],
+    "org:dissolved": [rf"{E}[^.]*\b(?:dissolved|disbanded|shut down)\b[^.]*{S}"],
+    "org:number_of_employees/members": [rf"{E}[^.]*\bhas {S} (?:employees|members|staff)"],
+    "org:website": [rf"(?:website|site|homepage) of {E} is {S}", rf"{E}[^.]*\bwebsite\b[^.]* {S}"],
+    "org:top_members/employees": [rf"{S} , (?:the|an?) {_TOP_TITLE} of {E}"],
+    "org:subsidiaries": [rf"{S} , a (?:subsidiary|unit|division) of {E}", rf"{E} 's subsidiary {S}"],
+    "org:parents": [rf"{E} , a (?:subsidiary|unit|division) of {S}"],
+    "org:member_of": [rf"{E}[^.]*\bmember of {S}"],
+    "org:members": [rf"{S}[^.]*\bmember of {E}"],
+    "org:shareholders": [rf"{S}[^.]*\bshareholder\b[^.]*\bof {E}"],
+    "org:alternate_names": [rf"{E} \( (?:a\.?k\.?a\.? |formerly )?{S} \)"],
+    "per:alternate_names": [rf"{E} \( (?:a\.?k\.?a\.? |formerly )?{S} \)"],
+}
+
+# --- trigger bank: (regex over masked sentence, slot_ner -> relation).
+# Loose keyword co-occurrence between spans (order-aware via sentinel
+# placement) standing in for dependency paths (SURVEY.md F12).
+TRIGGER_BANK: list[tuple[str, dict[str, str]]] = [
+    (
+        rf"{E}[^.]*\b(?:lives|lived|resides|resided|residing) in[^.]*{S}",
+        {
+            "COUNTRY": "per:countries_of_residence",
+            "CITY": "per:cities_of_residence",
+            "STATE_OR_PROVINCE": "per:stateorprovinces_of_residence",
+        },
+    ),
+    (
+        rf"{E}[^.]*\bborn\b[^.]*{S}",
+        {
+            "COUNTRY": "per:country_of_birth",
+            "CITY": "per:city_of_birth",
+            "STATE_OR_PROVINCE": "per:stateorprovince_of_birth",
+            "DATE": "per:date_of_birth",
+        },
+    ),
+    (
+        rf"{E}[^.]*\b(?:died|death)\b[^.]*{S}",
+        {
+            "COUNTRY": "per:country_of_death",
+            "CITY": "per:city_of_death",
+            "STATE_OR_PROVINCE": "per:stateorprovince_of_death",
+            "DATE": "per:date_of_death",
+        },
+    ),
+    (rf"{E}[^.]*\b(?:works?|worked|employed)\b[^.]*{S}", {"ORGANIZATION": "per:employee_of"}),
+    (rf"{E}[^.]*\b(?:married|wife|husband|spouse)\b[^.]*{S}", {"PERSON": "per:spouse"}),
+    (rf"{E}[^.]*\b(?:founded|established|started) by[^.]*{S}", {"PERSON": "org:founded_by"}),
+    (rf"{E}[^.]*\b(?:founded|established)\b[^.]*{S}", {"DATE": "org:founded"}),
+    (
+        rf"{E}[^.]*\b(?:headquartered|based|headquarters)\b[^.]*{S}",
+        {
+            "COUNTRY": "org:country_of_headquarters",
+            "CITY": "org:city_of_headquarters",
+            "STATE_OR_PROVINCE": "org:stateorprovince_of_headquarters",
+        },
+    ),
+    (rf"{E}[^.]*{S} (?:employees|members|staff)", {"NUMBER": "org:number_of_employees/members"}),
+    (rf"\bwebsite\b[^.]*{E}[^.]*{S}", {"URL": "org:website"}),
+    (rf"{E} ,? (?:the|an?) {S}", {"TITLE": "per:title"}),
+    (rf"{S}[^.]*\b{_TOP_TITLE}\b[^.]*\bof {E}", {"PERSON": "org:top_members/employees"}),
+]
+
+VOTES_SCHEMA = (
+    "conv_id string, turn_idx int, sent_idx int, "
+    "entity_name string, entity_type string, entity_begin int, entity_end int, "
+    "slot_value string, slot_ner string, slot_begin int, slot_end int, "
+    "relation string, extractor string, score double"
+)
+
+VOTE_COLUMNS = [f.strip().split(" ")[0] for f in VOTES_SCHEMA.split(",")]
+
+
+def _compiled_pattern_bank() -> dict[str, list[re.Pattern[str]]]:
+    return {rel: [re.compile(p) for p in pats] for rel, pats in PATTERN_BANK.items()}
+
+
+def _compiled_trigger_bank() -> list[tuple[re.Pattern[str], dict[str, str]]]:
+    return [(re.compile(p), m) for p, m in TRIGGER_BANK]
+
+
+def mask(sent: str, e: dict[str, Any], s: dict[str, Any]) -> str:
+    """Replace the entity/slot spans with sentinels (higher span first)."""
+    first, second = (e, s) if e["begin"] <= s["begin"] else (s, e)
+    t1 = E if first is e else S
+    t2 = E if second is e else S
+    return (
+        sent[: first["begin"]]
+        + t1
+        + sent[first["end"] : second["begin"]]
+        + t2
+        + sent[second["end"] :]
+    )
+
+
+def votes_for_sentence(
+    sent: str,
+    mentions: list[dict[str, Any]],
+    pattern_bank: dict[str, list[re.Pattern[str]]],
+    trigger_bank: list[tuple[re.Pattern[str], dict[str, str]]],
+) -> list[tuple[Any, ...]]:
+    """All (entity, slot, relation, extractor, score) votes in one sentence."""
+    out: list[tuple[Any, ...]] = []
+    entities = [m for m in mentions if m["ner"] in ENTITY_TYPES]
+    for ent in entities:
+        for slot in mentions:
+            if slot is ent:
+                continue
+            # span-distance predicate (P5, Utils.java:353-365) — token
+            # distance approximated by whitespace distance.
+            gap = sent[min(ent["end"], slot["end"]) : max(ent["begin"], slot["begin"])]
+            if gap.count(" ") > MAX_ENTITY_SLOT_DISTANCE:
+                continue
+            rels = compatible_relations(ent["ner"], slot["ner"])
+            if not rels:
+                continue
+            masked = mask(sent, ent, slot)
+            base = (
+                ent["surface"], ent["ner"], ent["begin"], ent["end"],
+                slot["surface"], slot["ner"], slot["begin"], slot["end"],
+            )
+            # pattern extractor: first matching rule per relation wins
+            for rel in rels:
+                for rx in pattern_bank.get(rel, ()):
+                    if rx.search(masked):
+                        out.append(base + (rel, "pattern", PATTERN_WEIGHT))
+                        break
+            # trigger extractor: dependency-path stand-in
+            trig_rels: set[str] = set()
+            for rx, by_ner in trigger_bank:
+                rel = by_ner.get(slot["ner"])
+                if rel is not None and rel in rels and rel not in trig_rels and rx.search(masked):
+                    trig_rels.add(rel)
+                    out.append(base + (rel, "trigger", TRIGGER_WEIGHT))
+            # window extractor: normalized type-prior corroboration
+            w = round(WINDOW_WEIGHT / len(rels), 6)
+            for rel in rels:
+                out.append(base + (rel, "window", w))
+    return out
+
+
+def extract_votes(sentences: DataFrame) -> DataFrame:
+    """sentences (stage 1 output) -> long votes table."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pbank = _compiled_pattern_bank()
+        tbank = _compiled_trigger_bank()
+        for pdf in batches:
+            rows: list[tuple[Any, ...]] = []
+            for conv_id, turn_idx, sent_idx, sent, mentions in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["sent_idx"],
+                pdf["sent_text"], pdf["mentions"],
+            ):
+                if mentions is None or len(mentions) < 2:
+                    continue
+                for vote in votes_for_sentence(sent, list(mentions), pbank, tbank):
+                    (en, et, eb, ee, sv, sn, sb, se, rel, ex, sc) = vote
+                    rows.append(
+                        (conv_id, turn_idx, sent_idx, en, et, eb, ee, sv, sn, sb, se, rel, ex, sc)
+                    )
+            yield pd.DataFrame(rows, columns=VOTE_COLUMNS)
+
+    return sentences.mapInPandas(run, schema=VOTES_SCHEMA)
