@@ -87,6 +87,28 @@ def _final_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wikidict_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stanford_relation_extractor_spark.operators.linking import wikidict_link
+    from stanford_relation_extractor_spark.sources.synthetic import (
+        alias_dict_df,
+        turns_base_df,
+    )
+
+    mentions = turns_base_df(spark, sf_dir).select(
+        F.col("nickperson").alias("surface")
+    ).distinct()
+    return wikidict_link(mentions, alias_dict_df(spark, sf_dir)).select("surface", "linked")
+
+
+def _connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stanford_relation_extractor_spark.operators.canonicalize import (
+        connected_components,
+    )
+    from stanford_relation_extractor_spark.sources.synthetic import cc_edges_df
+
+    return connected_components(cc_edges_df(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG-construction pipeline on sf0.001."""
     from stanford_relation_extractor_spark.plans.pipeline import final_triples
@@ -103,12 +125,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extractor_votes": _votes,
         "ensemble_noisy_or": _ensemble,
         "final_triples": _final_triples,
+        "wikidict_link": _wikidict_link,
+        "connected_components": _connected_components,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from stanford_relation_extractor_spark.sources import oracle_rules as orc
-    from stanford_relation_extractor_spark.sources.synthetic import oracle_query
+    from stanford_relation_extractor_spark.sources.synthetic import (
+        oracle_query,
+        oracle_query_linking,
+    )
 
     return {
         "transcripts_synth": oracle_query(
@@ -129,4 +156,40 @@ def oracle_sql() -> dict[str, str]:
         "extractor_votes": orc.votes_sql(),
         "ensemble_noisy_or": orc.ensemble_sql(),
         "final_triples": orc.final_triples_sql(),
+        "wikidict_link": oracle_query_linking(
+            """
+, wmentions AS (SELECT DISTINCT nickperson AS surface FROM turns_base),
+cand AS (
+  SELECT m.surface, a.canonical, a.link_score,
+         row_number() OVER (PARTITION BY m.surface
+                            ORDER BY a.link_score DESC, a.canonical ASC) AS rk
+  FROM wmentions m JOIN alias_dict a ON lower(m.surface) = a.alias
+), agg AS (
+  SELECT surface,
+         max(CASE WHEN rk = 1 THEN link_score END) AS top1,
+         max(CASE WHEN rk = 2 THEN link_score END) AS top2,
+         max(CASE WHEN rk = 1 THEN canonical END) AS best
+  FROM cand GROUP BY surface
+)
+SELECT m.surface,
+       CASE WHEN top1 >= 0.4 AND (top2 IS NULL OR top1 >= 1.5 * top2)
+            THEN best END AS linked
+FROM wmentions m LEFT JOIN agg ON m.surface = agg.surface
+"""
+        ),
+        "connected_components": oracle_query_linking(
+            """
+, cc_nodes AS (
+  SELECT src AS node FROM cc_edges UNION SELECT dst FROM cc_edges
+), cc_sym AS (
+  SELECT src AS a, dst AS b FROM cc_edges UNION SELECT dst, src FROM cc_edges
+), walk(node, label) AS (
+  SELECT node, node FROM cc_nodes
+  UNION
+  SELECT s.b, w.label FROM walk w JOIN cc_sym s ON w.node = s.a
+)
+SELECT node, min(label) AS component FROM walk GROUP BY node
+""",
+            recursive=True,
+        ),
     }

@@ -67,7 +67,7 @@ def combine_votes(
     top2 = F.round(
         F.lit(1.0)
         - (F.lit(1.0) - F.col("ws").getItem(0))
-        * (F.lit(1.0) - F.coalesce(F.element_at(F.col("ws"), 2), F.lit(0.0))),
+        * (F.lit(1.0) - F.coalesce(F.try_element_at(F.col("ws"), F.lit(2)), F.lit(0.0))),
         round_digits,
     )
 

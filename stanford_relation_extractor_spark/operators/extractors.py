@@ -156,6 +156,7 @@ TRIGGER_BANK: list[tuple[str, dict[str, str]]] = [
         },
     ),
     (rf"{E}[^.]*\b(?:works?|worked|employed)\b[^.]*{S}", {"ORGANIZATION": "per:employee_of"}),
+    (rf"{E}[^.]*\b(?:attended|studied|graduated)\b[^.]*{S}", {"ORGANIZATION": "per:schools_attended"}),
     (rf"{E}[^.]*\b(?:married|wife|husband|spouse)\b[^.]*{S}", {"PERSON": "per:spouse"}),
     (rf"{E}[^.]*\b(?:founded|established|started) by[^.]*{S}", {"PERSON": "org:founded_by"}),
     (rf"{E}[^.]*\b(?:founded|established)\b[^.]*{S}", {"DATE": "org:founded"}),

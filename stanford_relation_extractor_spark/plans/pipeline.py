@@ -12,8 +12,15 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.consistency import apply_consistency
 from ..operators.ensemble import AGREE_MOST, combine_votes
 from ..operators.extractors import extract_votes
+from ..operators.linking import canonicalize_names
 from ..operators.mentions import detect_mentions
-from ..sources.synthetic import country_gazetteer, detector_config, transcripts_df
+from ..sources.synthetic import (
+    CORP_SUFFIXES,
+    NICKNAMES,
+    country_gazetteer,
+    detector_config,
+    transcripts_df,
+)
 
 
 def build_stages(
@@ -27,12 +34,18 @@ def build_stages(
     config = detector_config(country_gazetteer(spark, sf_dir))
     sentences = detect_mentions(t, config)
     votes = extract_votes(sentences)
-    candidates = combine_votes(votes, combination=combination)
+    # stage 4 LINK: canonicalize surfaces (nickname J6 + suffix strip F5)
+    # before grouping, as the reference links before Featurizer grouping.
+    linked_votes = canonicalize_names(
+        votes, ["entity_name", "slot_value"], NICKNAMES, CORP_SUFFIXES
+    )
+    candidates = combine_votes(linked_votes, combination=combination)
     triples = apply_consistency(candidates, spark)
     return {
         "transcripts": t,
         "sentences": sentences,
         "votes": votes,
+        "linked_votes": linked_votes,
         "candidates": candidates,
         "triples": triples,
     }

@@ -18,7 +18,7 @@ pattern 0.9, trigger 0.8, window 0.4/|admissible relations|.
 from __future__ import annotations
 
 from ..ontology import RELATION_BY_NAME, compatible_relations
-from .synthetic import oracle_query
+from .synthetic import canon_sql, oracle_query
 
 PATTERN_WEIGHT = 0.9
 TRIGGER_WEIGHT = 0.8
@@ -38,6 +38,10 @@ TEMPLATE_MENTIONS: dict[int, list[tuple[str, str]]] = {
     9: [("person", "PERSON"), ("title", "TITLE"), ("org", "ORGANIZATION")],
     10: [],
     11: [("org", "ORGANIZATION"), ("website", "URL")],
+    12: [("person", "PERSON"), ("org_inc", "ORGANIZATION")],
+    13: [("nickperson", "PERSON"), ("city", "CITY")],
+    14: [("org_ltd", "ORGANIZATION"), ("yr", "DATE")],
+    15: [("person", "PERSON"), ("org", "ORGANIZATION")],
 }
 
 _NER_OF = {col: ner for ms in TEMPLATE_MENTIONS.values() for col, ner in ms}
@@ -61,6 +65,10 @@ PATTERN_VOTES: dict[int, list[tuple[str, str, str]]] = {
     ],
     10: [],
     11: [("org", "website", "org:website")],
+    12: [("person", "org_inc", "per:employee_of")],
+    13: [("nickperson", "city", "per:cities_of_residence")],
+    14: [("org_ltd", "yr", "org:founded")],
+    15: [("person", "org", "per:schools_attended")],
 }
 
 TRIGGER_VOTES: dict[int, list[tuple[str, str, str]]] = {
@@ -76,6 +84,10 @@ TRIGGER_VOTES: dict[int, list[tuple[str, str, str]]] = {
     9: [("person", "title", "per:title"), ("org", "person", "org:top_members/employees")],
     10: [],
     11: [("org", "website", "org:website")],
+    12: [("person", "org_inc", "per:employee_of")],
+    13: [("nickperson", "city", "per:cities_of_residence")],
+    14: [("org_ltd", "yr", "org:founded")],
+    15: [("person", "org", "per:schools_attended")],
 }
 
 
@@ -140,9 +152,12 @@ _ENSEMBLE_BODY = """
 , votes AS (
 {votes}
 ), per_ex AS (
-  SELECT entity_name, entity_type, relation, slot_value, slot_ner, extractor, max(score) AS w
+  -- stage 4 LINK applied before grouping: nickname canonicalization
+  -- (J6) + corporate-suffix strip (F5) on both name columns
+  SELECT {canon_entity} AS entity_name, entity_type, relation,
+         {canon_slot} AS slot_value, slot_ner, extractor, max(score) AS w
   FROM votes
-  GROUP BY entity_name, entity_type, relation, slot_value, slot_ner, extractor
+  GROUP BY 1, 2, 3, 4, 5, 6
 ), ens AS (
   SELECT entity_name, entity_type, relation, slot_value, slot_ner,
          CAST(count(*) AS INT) AS n_agree,
@@ -153,9 +168,16 @@ _ENSEMBLE_BODY = """
 """
 
 
+def _ensemble_body() -> str:
+    return _ENSEMBLE_BODY.format(
+        votes=votes_union_sql(),
+        canon_entity=canon_sql("entity_name"),
+        canon_slot=canon_sql("slot_value"),
+    )
+
+
 def ensemble_sql() -> str:
-    body = _ENSEMBLE_BODY.format(votes=votes_union_sql())
-    return oracle_query(body + "SELECT * FROM ens")
+    return oracle_query(_ensemble_body() + "SELECT * FROM ens")
 
 
 def final_triples_sql(threshold: float = 0.5) -> str:
@@ -163,7 +185,7 @@ def final_triples_sql(threshold: float = 0.5) -> str:
     singles = ", ".join(
         f"'{name}'" for name, r in sorted(RELATION_BY_NAME.items()) if r.cardinality == "SINGLE"
     )
-    body = _ENSEMBLE_BODY.format(votes=votes_union_sql()) + f"""
+    body = _ensemble_body() + f"""
 SELECT entity_name, entity_type, relation, slot_value, slot_ner, n_agree, score
 FROM (
   SELECT *, row_number() OVER (

@@ -35,7 +35,26 @@ from .tables import register_views
 
 FIRST_NAMES = ("Alice", "Bob", "Carol", "David", "Emma", "Frank", "Grace", "Henry")
 
-N_TEMPLATES = 12
+# nickname -> canonical first name, modeled on the reference's
+# `kbp_male_names.txt` / `kbp_female_names.txt` maps (loaded at
+# `.../entitylinking/EntityLinker.java:135-161`). Chosen so that
+# "<nick> Person" is never a substring of "<canonical> Person".
+NICKNAMES: dict[str, str] = {
+    "Ali": "Alice",
+    "Bobby": "Bob",
+    "Caz": "Carol",
+    "Dave": "David",
+    "Em": "Emma",
+    "Frankie": "Frank",
+    "Gracie": "Grace",
+    "Hank": "Henry",
+}
+_NICK_OF = {v: k for k, v in NICKNAMES.items()}
+
+# corporate suffixes, modeled on EntityLinker.java:23-37
+CORP_SUFFIXES = ("Inc", "Ltd", "Corp")
+
+N_TEMPLATES = 16
 
 _first_name_case = (
     "CASE CAST(o.o_custkey % 8 AS INT) "
@@ -47,6 +66,11 @@ _first_name2_case = (
     + " ".join(f"WHEN {i} THEN '{n}'" for i, n in enumerate(FIRST_NAMES[:-1]))
     + f" ELSE '{FIRST_NAMES[-1]}' END"
 )
+_nick_case = (
+    "CASE CAST(o.o_custkey % 8 AS INT) "
+    + " ".join(f"WHEN {i} THEN '{_NICK_OF[n]}'" for i, n in enumerate(FIRST_NAMES[:-1]))
+    + f" ELSE '{_NICK_OF[FIRST_NAMES[-1]]}' END"
+)
 
 # The WITH-clause body shared verbatim by Spark SQL and DuckDB.
 TURNS_BASE_CTE = f"""
@@ -56,7 +80,8 @@ turns_base AS (
     CAST(row_number() OVER (PARTITION BY conv_key ORDER BY o_orderkey) - 1 AS INT) AS turn_idx,
     CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
     CASE WHEN o_orderkey % 3 = 2 THEN 'search' END AS tool,
-    ts, k, person, person2, org, country, city, age, yr, n_emp, title, website,
+    ts, k, person, person2, nickperson, org, org_inc, org_ltd, country, city,
+    age, yr, n_emp, title, website,
     CASE CAST(k AS INT)
       WHEN 0 THEN person || ' , ' || age || ' , lives in ' || country || ' .'
       WHEN 1 THEN person || ' ( ' || age || ' ) works for ' || org || ' .'
@@ -69,7 +94,11 @@ turns_base AS (
       WHEN 8 THEN org || ' has ' || n_emp || ' employees .'
       WHEN 9 THEN person || ' , the ' || title || ' of ' || org || ' , spoke .'
       WHEN 10 THEN 'The shipment arrived on time .'
-      ELSE 'The website of ' || org || ' is ' || website || ' .'
+      WHEN 11 THEN 'The website of ' || org || ' is ' || website || ' .'
+      WHEN 12 THEN person || ' works for ' || org_inc || ' .'
+      WHEN 13 THEN nickperson || ' lives in ' || city || ' .'
+      WHEN 14 THEN org_ltd || ' was founded in ' || yr || ' .'
+      ELSE person || ' studied at ' || org || ' .'
     END AS main_sent,
     CASE WHEN o_orderkey % 2 = 0 THEN ' Thanks for the update .' ELSE '' END AS filler
   FROM (
@@ -80,7 +109,10 @@ turns_base AS (
       o.o_orderkey % {N_TEMPLATES} AS k,
       {_first_name_case} || ' Person' || lpad(CAST(o.o_custkey AS STRING), 6, '0') AS person,
       {_first_name2_case} || ' Person' || lpad(CAST(o.o_custkey + 500000 AS STRING), 6, '0') AS person2,
+      {_nick_case} || ' Person' || lpad(CAST(o.o_custkey AS STRING), 6, '0') AS nickperson,
       'Org' || lpad(CAST(o.o_orderkey % 10 + 1 AS STRING), 3, '0') AS org,
+      'Org' || lpad(CAST(o.o_orderkey % 10 + 1 AS STRING), 3, '0') || ' Inc' AS org_inc,
+      'Org' || lpad(CAST(o.o_orderkey % 10 + 1 AS STRING), 3, '0') || ' Ltd' AS org_ltd,
       n.n_name AS country,
       replace(n.n_name, ' ', '') || 'ville' AS city,
       CAST(o.o_orderkey % 63 + 18 AS STRING) AS age,
@@ -134,6 +166,64 @@ def country_gazetteer(spark: SparkSession, sf_dir: str) -> list[str]:
     return [r[0] for r in spark.sql("SELECT DISTINCT n_name FROM nation").collect()]
 
 
+# --- entity-linking fixtures (shared Spark/DuckDB CTEs) ---------------------
+
+# wikidict-style alias dictionary (word -> article, score), modeled on
+# `.../entitylinking/WikidictEntityLinker.java:29-43,76-115`. One
+# unambiguous nickname alias per customer (score 0.9) plus, for every
+# 10th customer, a competing sense at 0.7 so the margin rule
+# (top-1 >= 1.5 x top-2, TextOps.java:326-343) rejects the link.
+ALIAS_DICT_CTE = """
+persons AS (
+  SELECT DISTINCT person, person2, nickperson FROM turns_base
+),
+alias_dict AS (
+  SELECT lower(person) AS alias, person AS canonical, 1.0 AS link_score FROM persons
+  UNION ALL
+  SELECT lower(nickperson) AS alias, person AS canonical, 0.9 AS link_score FROM persons
+  UNION ALL
+  SELECT lower(nickperson) AS alias, person2 AS canonical, 0.7 AS link_score
+  FROM persons
+  WHERE CAST(substr(person, length(person) - 5, 6) AS INT) % 10 = 0
+)"""
+
+# undirected surface-equivalence edges for connected components (J9):
+# person -- nickperson -- lowercase(person) chains, one per customer.
+CC_EDGES_CTE = """
+cc_edges AS (
+  SELECT person AS src, nickperson AS dst FROM (SELECT DISTINCT person, nickperson FROM turns_base)
+  UNION ALL
+  SELECT nickperson AS src, lower(person) AS dst FROM (SELECT DISTINCT person, nickperson FROM turns_base)
+)"""
+
+
+def oracle_query_linking(body: str, recursive: bool = False) -> str:
+    """Oracle wrapper including the alias/CC fixture CTEs."""
+    prefix = CTE_PREFIX.replace("WITH ", "WITH RECURSIVE ", 1) if recursive else CTE_PREFIX
+    return f"{prefix},\n{ALIAS_DICT_CTE},\n{CC_EDGES_CTE}\n{body}"
+
+
+def alias_dict_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(oracle_query_linking("SELECT * FROM alias_dict"))
+
+
+def cc_edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(oracle_query_linking("SELECT * FROM cc_edges"))
+
+
+# canonicalization transforms (J6 nickname join + F5 suffix strip) as a
+# SQL expression generator, applied identically by oracle SQL; the
+# engine applies the same semantics via operators/linking.py.
+def canon_sql(col: str) -> str:
+    expr = col
+    for nick, full in sorted(NICKNAMES.items()):
+        expr = f"replace({expr}, '{nick} Person', '{full} Person')"
+    suffixes = "|".join(CORP_SUFFIXES)
+    return f"regexp_replace({expr}, ' ({suffixes})$', '')"
+
+
 def detector_config(countries: list[str]) -> list[tuple[str, str]]:
     """Mention-detector (ner, regex) priority list for this corpus.
 
@@ -143,11 +233,12 @@ def detector_config(countries: list[str]) -> list[tuple[str, str]]:
     order resolves overlaps (URL before NUMBER, DATE before NUMBER, ...).
     """
     country_alt = "|".join(sorted(map(re.escape, countries), key=len, reverse=True))
-    first_alt = "|".join(FIRST_NAMES)
+    first_alt = "|".join(list(FIRST_NAMES) + sorted(NICKNAMES, key=len, reverse=True))
+    suffix_alt = "|".join(CORP_SUFFIXES)
     return [
         ("URL", r"\bwww\.[a-z0-9]+\.com\b"),
         ("PERSON", rf"\b(?:{first_alt}) Person[0-9]{{6}}\b"),
-        ("ORGANIZATION", r"\bOrg[0-9]{3}\b"),
+        ("ORGANIZATION", rf"\bOrg[0-9]{{3}}(?: (?:{suffix_alt}))?\b"),
         ("CITY", r"\b[A-Z][A-Z0-9_]*ville\b"),
         ("COUNTRY", rf"\b(?:{country_alt})\b"),
         ("DATE", r"\b(?:19|20)[0-9]{2}\b"),
