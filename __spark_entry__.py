@@ -127,6 +127,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "final_triples": _final_triples,
         "wikidict_link": _wikidict_link,
         "connected_components": _connected_components,
+        **_datapipe_queries(),
+    }
+
+
+def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from stanford_relation_extractor_spark.datapipe import queries as dq
+
+    return {
+        "dedup_exact": dq.q_dedup_exact,
+        "minhash_lsh_neardups": dq.q_minhash_lsh,
+        "prefix_block_jaccard": dq.q_prefix_block_jaccard,
+        "simhash": dq.q_simhash,
+        "knn_bruteforce": dq.q_knn_bruteforce,
+        "lsh_knn": dq.q_lsh_knn,
+        "token_counts": dq.q_token_counts,
+        "quality_scores": dq.q_quality,
+        "fingerprints": dq.q_fingerprints,
+        "language_id": dq.q_language_id,
+        "events_tumbling": dq.q_events_tumbling,
+        "events_sessions": dq.q_events_sessions,
+        "multimodal_features": dq.q_multimodal_features,
     }
 
 
@@ -192,4 +213,7 @@ SELECT node, min(label) AS component FROM walk GROUP BY node
 """,
             recursive=True,
         ),
+        **__import__(
+            "stanford_relation_extractor_spark.datapipe.oracles", fromlist=["ALL"]
+        ).ALL,
     }

@@ -119,13 +119,12 @@ def exact_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     near-dup suspects.
     """
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle").distinct()
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle_b")).distinct()
+    sb = sh.select(F.col("doc_id").alias("_doc_b"), F.col("shingle").alias("shingle_b")).distinct()
     sizes = sa.groupBy("doc_a").agg(F.count("*").alias("n_a"))
-    sizes_b = sb.groupBy("doc_b").agg(F.count("*").alias("n_b"))
+    sizes_b = sb.groupBy(F.col("_doc_b").alias("doc_b")).agg(F.count("*").alias("n_b"))
     inter = (
         pairs.join(sa, "doc_a")
-        .join(sb, (F.col("doc_b") == sb["doc_b"]) & (F.col("shingle") == F.col("shingle_b")), "inner")
-        .drop(sb["doc_b"])
+        .join(sb, (F.col("doc_b") == F.col("_doc_b")) & (F.col("shingle") == F.col("shingle_b")), "inner")
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
