@@ -53,3 +53,65 @@ def build_stages(
 
 def final_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_stages(spark, sf_dir)["triples"]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    combination: str = AGREE_MOST,
+) -> dict[str, object]:
+    """Materialized, resumable execution (SURVEY.md §7 stage graph).
+
+    Each stage lands as a parquet table + lineage manifest under
+    ``checkpoint_dir``; re-running after a crash (or with some stages
+    deleted) recomputes only invalid stages — the Spark analog of the
+    reference's Postgres caches (S9). The final triple store is
+    partitioned by relation (S11 predictions.tab analog).
+    """
+    import os
+
+    from ..sources.sinks import checkpoint_stage, fingerprint, read_manifest
+
+    cfg = {"sf_dir": sf_dir, "combination": combination, "version": 1}
+
+    fp_sent = fingerprint("sentences", cfg, [])
+    sentences = checkpoint_stage(
+        spark,
+        lambda: build_stages(spark, sf_dir, combination)["sentences"],
+        os.path.join(checkpoint_dir, "sentences"),
+        fp_sent,
+    )
+
+    fp_votes = fingerprint("linked_votes", cfg, [fp_sent])
+    linked_votes = checkpoint_stage(
+        spark,
+        lambda: canonicalize_names(
+            extract_votes(sentences), ["entity_name", "slot_value"], NICKNAMES, CORP_SUFFIXES
+        ),
+        os.path.join(checkpoint_dir, "linked_votes"),
+        fp_votes,
+    )
+
+    fp_cand = fingerprint("candidates", cfg, [fp_votes])
+    candidates = checkpoint_stage(
+        spark,
+        lambda: combine_votes(linked_votes, combination=combination),
+        os.path.join(checkpoint_dir, "candidates"),
+        fp_cand,
+    )
+
+    fp_triples = fingerprint("triples", cfg, [fp_cand])
+    triples = checkpoint_stage(
+        spark,
+        lambda: apply_consistency(candidates, spark),
+        os.path.join(checkpoint_dir, "triples"),
+        fp_triples,
+        partition_by="relation",
+    )
+
+    manifests = {
+        name: read_manifest(os.path.join(checkpoint_dir, name))
+        for name in ("sentences", "linked_votes", "candidates", "triples")
+    }
+    return {"triples": triples, "manifests": manifests}
