@@ -109,6 +109,46 @@ def _connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(cc_edges_df(spark, sf_dir))
 
 
+def _topk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stanford_relation_extractor_spark.operators.selection import (
+        topk_sentences_per_entity,
+    )
+    from stanford_relation_extractor_spark.plans.pipeline import build_stages
+
+    return topk_sentences_per_entity(build_stages(spark, sf_dir)["sentences"], k=5)
+
+
+def _ner_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stanford_relation_extractor_spark.operators.selection import ner_majority_vote
+    from stanford_relation_extractor_spark.plans.pipeline import build_stages
+
+    mentions = (
+        build_stages(spark, sf_dir)["sentences"]
+        .select(F.explode("mentions").alias("m"))
+        .select(F.col("m.surface").alias("surface"), F.col("m.ner").alias("ner"))
+    )
+    return ner_majority_vote(mentions)
+
+
+def _nil_padded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stanford_relation_extractor_spark.operators.evaluate import nil_padded_output
+    from stanford_relation_extractor_spark.plans.pipeline import build_stages
+    from stanford_relation_extractor_spark.sources.synthetic import turns_base_df
+
+    triples = build_stages(spark, sf_dir)["triples"]
+    queries_df = (
+        turns_base_df(spark, sf_dir)
+        .select(F.col("person").alias("entity_name"))
+        .distinct()
+        .select(
+            F.col("entity_name").alias("query_id"),
+            "entity_name",
+            F.lit("PERSON").alias("entity_type"),
+        )
+    )
+    return nil_padded_output(triples, queries_df, spark)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG-construction pipeline on sf0.001."""
     from stanford_relation_extractor_spark.plans.pipeline import final_triples
@@ -127,6 +167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "final_triples": _final_triples,
         "wikidict_link": _wikidict_link,
         "connected_components": _connected_components,
+        "topk_sentences": _topk_sentences,
+        "ner_majority": _ner_majority,
+        "nil_padded_output": _nil_padded,
         **_datapipe_queries(),
     }
 
@@ -177,6 +220,9 @@ def oracle_sql() -> dict[str, str]:
         "extractor_votes": orc.votes_sql(),
         "ensemble_noisy_or": orc.ensemble_sql(),
         "final_triples": orc.final_triples_sql(),
+        "topk_sentences": orc.topk_sentences_sql(),
+        "ner_majority": orc.ner_majority_sql(),
+        "nil_padded_output": orc.nil_padded_sql(),
         "wikidict_link": oracle_query_linking(
             """
 , wmentions AS (SELECT DISTINCT nickperson AS surface FROM turns_base),

@@ -112,6 +112,77 @@ GLOBAL_SCORE_THRESHOLD = 0.5
 MAX_ENTITY_SLOT_DISTANCE = 1000
 
 
+# Declared plausibly-overlapping relation pairs -- the raw map of
+# `RelationType.plausibleOverlappingRelations` (RelationType.java:319-345),
+# before the static-init cleanup at RelationType.java:347-355 (which drops
+# entries with mismatched entity types or disjoint slot-NE labels; we apply
+# the same cleanup in `_overlap_map`).
+_RAW_OVERLAPS: dict[str, tuple[str, ...]] = {
+    "per:stateorprovince_of_death": ("per:stateorprovince_of_birth", "per:stateorprovinces_of_residence"),
+    "per:stateorprovince_of_birth": ("per:stateorprovinces_of_residence", "per:stateorprovince_of_death"),
+    "per:spouse": (),
+    "per:schools_attended": ("per:employee_of", "per:stateorprovinces_of_residence", "per:stateorprovince_of_birth"),
+    "per:parents": (),
+    "per:member_of": ("per:stateorprovinces_of_residence", "per:stateorprovince_of_death", "per:stateorprovince_of_birth", "per:spouse", "per:schools_attended", "per:origin"),
+    "per:employee_of": ("per:stateorprovinces_of_residence", "per:stateorprovince_of_death", "per:stateorprovince_of_birth", "per:schools_attended", "per:member_of"),
+    "per:date_of_birth": (),
+    "per:country_of_death": ("per:country_of_birth", "per:member_of", "per:employee_of"),
+    "per:country_of_birth": ("per:country_of_death", "per:schools_attended", "per:member_of", "per:employee_of"),
+    "per:countries_of_residence": ("per:stateorprovince_of_birth", "per:schools_attended", "per:member_of", "per:employee_of", "per:country_of_death", "per:country_of_birth"),
+    "per:city_of_death": ("per:stateorprovince_of_death", "per:stateorprovince_of_birth", "per:schools_attended", "per:member_of", "per:employee_of", "per:country_of_death", "per:country_of_birth"),
+    "per:city_of_birth": ("per:spouse", "per:schools_attended", "per:member_of", "per:employee_of", "per:country_of_birth", "per:countries_of_residence", "per:city_of_death"),
+    "per:cities_of_residence": ("per:schools_attended", "per:member_of", "per:employee_of", "per:city_of_death", "per:city_of_birth"),
+    "per:children": (),
+    "per:alternate_names": (),
+    "org:subsidiaries": (),
+    "org:stateorprovince_of_headquarters": ("org:top_members/employees", "org:subsidiaries"),
+    "org:parents": ("org:top_members/employees", "org:stateorprovince_of_headquarters"),
+    "org:member_of": ("org:top_members/employees", "org:subsidiaries", "org:stateorprovince_of_headquarters", "org:political/religious_affiliation", "org:parents", "org:members"),
+    "org:founded_by": ("org:top_members/employees", "org:subsidiaries", "org:stateorprovince_of_headquarters", "org:political/religious_affiliation", "org:parents"),
+    "org:founded": ("org:number_of_employees/members",),
+    "org:dissolved": ("org:number_of_employees/members", "org:founded"),
+    "org:country_of_headquarters": ("org:top_members/employees", "org:subsidiaries", "org:parents", "org:members", "org:member_of", "org:founded_by"),
+    "org:city_of_headquarters": ("org:subsidiaries", "org:parents", "org:member_of", "org:founded_by", "org:country_of_headquarters"),
+    "org:alternate_names": ("org:top_members/employees", "org:stateorprovince_of_headquarters", "org:political/religious_affiliation", "org:founded_by", "org:country_of_headquarters", "org:city_of_headquarters"),
+}
+
+
+@lru_cache(maxsize=1)
+def _overlap_map() -> dict[str, frozenset[str]]:
+    out: dict[str, frozenset[str]] = {}
+    for key, vals in _RAW_OVERLAPS.items():
+        k = RELATION_BY_NAME[key]
+        kept = frozenset(
+            v
+            for v in vals
+            if RELATION_BY_NAME[v].entity_type == k.entity_type
+            and set(RELATION_BY_NAME[v].valid_slot_ners) & set(k.valid_slot_ners)
+        )
+        out[key] = kept
+    return out
+
+
+def plausibly_cooccurs(a: str, b: str) -> bool:
+    """RelationType.plausiblyCooccursWith (RelationType.java:228-230):
+    both relations must be declared AND either direction listed."""
+    m = _overlap_map()
+    return a in m and b in m and (b in m[a] or a in m[b])
+
+
+@lru_cache(maxsize=1)
+def incompatible_pairs() -> tuple[tuple[str, str], ...]:
+    """Ordered (higher_rel, lower_rel) pairs that may NOT share the same
+    (entity, slotValue) — the drop condition of
+    RespectDeclaredIncompatibilities (HeuristicSlotfillPostProcessors.java:766-791)."""
+    out = []
+    for a in RELATION_BY_NAME:
+        for b in RELATION_BY_NAME:
+            if a != b and RELATION_BY_NAME[a].entity_type == RELATION_BY_NAME[b].entity_type:
+                if not plausibly_cooccurs(a, b):
+                    out.append((a, b))
+    return tuple(out)
+
+
 @lru_cache(maxsize=None)
 def compatible_relations(entity_type: str, slot_ner: str) -> tuple[str, ...]:
     """Relations whose signature admits (entity_type, slot_ner).

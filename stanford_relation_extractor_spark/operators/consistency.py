@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..ontology import GLOBAL_SCORE_THRESHOLD, relation_schema_df
+from ..ontology import GLOBAL_SCORE_THRESHOLD, incompatible_pairs, relation_schema_df
 
 
 def type_check(triples: DataFrame, spark: SparkSession) -> DataFrame:
@@ -63,14 +63,127 @@ def dedup_exact(triples: DataFrame) -> DataFrame:
 
 
 def tiebreak_order() -> list:
-    """W4 total order within (entity, relation) partitions."""
+    """W4 total order (KBPSlotFill.compareTo, common/KBPSlotFill.java:69-91)
+    extended with relation asc so EVERY window is bit-deterministic."""
     slot_tokens = F.size(F.split(F.col("slot_value"), " "))
     return [
         F.desc("score"),
         slot_tokens.desc(),
         F.length("slot_value").desc(),
         F.asc("slot_value"),
+        F.asc("relation"),
     ]
+
+
+def sanity_check(triples: DataFrame) -> DataFrame:
+    """SanityCheckFilter (HeuristicSlotfillPostProcessors.java:148-172):
+    slot length cap, numeric plausibility bands for ages / employee
+    counts, no self-referential fills."""
+    num = F.when(
+        F.col("slot_value").rlike(r"^[0-9]+$"), F.col("slot_value").cast("long")
+    )
+    keep = (
+        (F.length("slot_value") <= 80)
+        & (F.col("entity_name") != F.col("slot_value"))
+        & F.when(
+            F.col("relation") == "per:age",
+            ~F.col("slot_value").contains(".")
+            & num.isNotNull() & (num > 0) & (num <= 125),
+        ).otherwise(F.lit(True))
+        & F.when(
+            F.col("relation") == "org:number_of_employees/members",
+            ~F.col("slot_value").contains(".")
+            & num.isNotNull() & (num >= 25) & (num <= 500000),
+        ).otherwise(F.lit(True))
+    )
+    return triples.filter(keep)
+
+
+def collapse_employee_member(triples: DataFrame) -> DataFrame:
+    """NoDuplicates employee/member special case
+    (HeuristicSlotfillPostProcessors.java:655-670): per:employee_of and
+    per:member_of with the same (entity, slot) collapse to the better one."""
+    pair = F.col("relation").isin("per:employee_of", "per:member_of")
+    ranked = triples.withColumn(
+        "_emp_rn",
+        F.when(pair, F.row_number().over(
+            Window.partitionBy(
+                "entity_name", "entity_type", "slot_value",
+                F.when(pair, F.lit("emp")).otherwise(F.col("relation")),
+            ).orderBy(*tiebreak_order())
+        )).otherwise(F.lit(1)),
+    )
+    return ranked.filter(F.col("_emp_rn") == 1).drop("_emp_rn")
+
+
+def remove_low_weight_competitors(triples: DataFrame, floor: float = 0.01) -> DataFrame:
+    """W3 RemoveLowWeightRelationUnlessOnlyOneOfType (`:757-765`)."""
+    w = Window.partitionBy("entity_name", "entity_type", "relation")
+    best = F.max("score").over(w)
+    n = F.count("*").over(w)
+    return (
+        triples.withColumn("_best", best).withColumn("_n", n)
+        .filter((F.col("score") >= floor) | (F.col("_n") == 1) | (F.col("score") == F.col("_best")))
+        .drop("_best", "_n")
+    )
+
+
+def respect_incompatibilities(triples: DataFrame, spark: SparkSession) -> DataFrame:
+    """O6 RespectDeclaredIncompatibilities (`:766-791`): among fills
+    sharing (entity, slotValue), a lower-ranked fill whose relation does
+    not plausibly co-occur with a higher-ranked one is dropped.
+
+    Rank-aware self-join on the tiny per-(entity, slot) groups + a
+    broadcast incompatible-pair table (RelationType.java:228-230 matrix)."""
+    incompat = spark.createDataFrame(
+        list(incompatible_pairs()), "inc_hi string, inc_lo string"
+    )
+    w = Window.partitionBy("entity_name", "entity_type", "slot_value").orderBy(
+        *tiebreak_order()
+    )
+    ranked = triples.withColumn("_rk", F.row_number().over(w))
+    hi = ranked.select(
+        F.col("entity_name").alias("e"), F.col("entity_type").alias("et"),
+        F.col("slot_value").alias("s"), F.col("relation").alias("rel_hi"),
+        F.col("_rk").alias("rk_hi"),
+    )
+    conflicts = (
+        ranked.join(
+            hi,
+            (F.col("entity_name") == F.col("e"))
+            & (F.col("entity_type") == F.col("et"))
+            & (F.col("slot_value") == F.col("s"))
+            & (F.col("rk_hi") < F.col("_rk")),
+        )
+        .join(
+            F.broadcast(incompat),
+            (F.col("rel_hi") == F.col("inc_hi")) & (F.col("relation") == F.col("inc_lo")),
+            "left_semi",
+        )
+        .select("entity_name", "entity_type", "relation", "slot_value")
+        .distinct()
+    )
+    return ranked.join(
+        conflicts, ["entity_name", "entity_type", "relation", "slot_value"], "left_anti"
+    ).drop("_rk")
+
+
+LOC_OF_DEATH = ("per:city_of_death", "per:country_of_death", "per:stateorprovince_of_death")
+
+
+def mitigate_loc_of_death(triples: DataFrame) -> DataFrame:
+    """MitigateLocOfDeath hold-one-out (`:793-820`): keep LOC_of_death
+    only when a per:date_of_death fill survives for the same entity."""
+    has_date = (
+        triples.filter(F.col("relation") == "per:date_of_death")
+        .select("entity_name", "entity_type")
+        .distinct()
+    )
+    locs = F.col("relation").isin(*LOC_OF_DEATH)
+    kept_locs = triples.filter(locs).join(
+        has_date, ["entity_name", "entity_type"], "left_semi"
+    )
+    return triples.filter(~locs).unionByName(kept_locs)
 
 
 def enforce_cardinality(triples: DataFrame) -> DataFrame:
@@ -89,9 +202,16 @@ def enforce_cardinality(triples: DataFrame) -> DataFrame:
 def apply_consistency(
     triples: DataFrame, spark: SparkSession, threshold: float = GLOBAL_SCORE_THRESHOLD
 ) -> DataFrame:
-    """The full stage-6 battery in reference order (filters before windows)."""
+    """The full stage-6 battery, reference order: unary filters first
+    (cheap, prunes early), then pairwise/windowed checks, then the
+    hold-one-out pass (SlotfillPostProcessor.java:83-190)."""
     out = type_check(triples, spark)
+    out = sanity_check(out)
     out = threshold_filter(out, threshold)
     out = dedup_exact(out)
+    out = collapse_employee_member(out)
+    out = remove_low_weight_competitors(out)
     out = enforce_cardinality(out)
+    out = respect_incompatibilities(out, spark)
+    out = mitigate_loc_of_death(out)
     return out.drop("cardinality")

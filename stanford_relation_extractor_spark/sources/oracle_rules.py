@@ -17,7 +17,7 @@ pattern 0.9, trigger 0.8, window 0.4/|admissible relations|.
 
 from __future__ import annotations
 
-from ..ontology import RELATION_BY_NAME, compatible_relations
+from ..ontology import RELATION_BY_NAME, compatible_relations, plausibly_cooccurs
 from .synthetic import canon_sql, oracle_query
 
 PATTERN_WEIGHT = 0.9
@@ -148,6 +148,55 @@ def votes_sql() -> str:
     return oracle_query(votes_union_sql())
 
 
+def topk_sentences_sql(k: int = 5) -> str:
+    """W7 oracle: per-entity sentence budget with text dedup."""
+    branches = [
+        f"SELECT {col} AS entity_name, conv_id, turn_idx, 0 AS sent_idx, main_sent AS sent_text "
+        f"FROM turns_base WHERE k = {kk}"
+        for kk in sorted(TEMPLATE_MENTIONS)
+        for col, ner in TEMPLATE_MENTIONS[kk]
+        if ner in ("PERSON", "ORGANIZATION")
+    ]
+    body = f"""
+, ent_sent AS (
+{' UNION ALL '.join(branches)}
+), dedup AS (
+  SELECT *, row_number() OVER (PARTITION BY entity_name, sent_text
+                               ORDER BY conv_id, turn_idx, sent_idx) AS d
+  FROM ent_sent
+), budget AS (
+  SELECT entity_name, conv_id, turn_idx, sent_idx, sent_text,
+         row_number() OVER (PARTITION BY entity_name
+                            ORDER BY conv_id, turn_idx, sent_idx) AS r
+  FROM dedup WHERE d = 1
+)
+SELECT entity_name, conv_id, turn_idx, sent_idx, sent_text FROM budget WHERE r <= {k}
+"""
+    return oracle_query(body)
+
+
+def ner_majority_sql() -> str:
+    """A5 oracle: majority NER tag per surface across mentions."""
+    branches = [
+        f"SELECT {col} AS surface, '{ner}' AS ner FROM turns_base WHERE k = {kk}"
+        for kk in sorted(TEMPLATE_MENTIONS)
+        for col, ner in TEMPLATE_MENTIONS[kk]
+    ]
+    body = f"""
+, men AS (
+{' UNION ALL '.join(branches)}
+), counts AS (
+  SELECT surface, ner, count(*) AS n FROM men GROUP BY surface, ner
+), ranked AS (
+  SELECT surface, ner, n,
+         row_number() OVER (PARTITION BY surface ORDER BY n DESC, ner ASC) AS r
+  FROM counts
+)
+SELECT surface, ner AS majority_ner, CAST(n AS BIGINT) AS votes FROM ranked WHERE r = 1
+"""
+    return oracle_query(body)
+
+
 _ENSEMBLE_BODY = """
 , votes AS (
 {votes}
@@ -180,24 +229,96 @@ def ensemble_sql() -> str:
     return oracle_query(_ensemble_body() + "SELECT * FROM ens")
 
 
-def final_triples_sql(threshold: float = 0.5) -> str:
-    """Ensemble -> threshold (P7) -> SINGLE-cardinality top-1 (W2/W4)."""
+_W4 = (
+    "score DESC, "
+    "(length(slot_value) - length(replace(slot_value, ' ', ''))) DESC, "
+    "length(slot_value) DESC, slot_value ASC, relation ASC"
+)
+
+
+def _allowed_pairs_values() -> str:
+    """Ordered relation pairs allowed to share (entity, slotValue)."""
+    rows = []
+    for a in RELATION_BY_NAME:
+        for b in RELATION_BY_NAME:
+            if a != b and plausibly_cooccurs(a, b):
+                rows.append(f"('{a}', '{b}')")
+    return ", ".join(sorted(rows))
+
+
+def _final_body(threshold: float = 0.5) -> str:
+    """CTE chain ending in ``final_out`` — the consistency battery:
+    ensemble -> threshold (P7) -> SINGLE-cardinality top-1 (W2/W4) ->
+    declared-incompatibility drop (O6) -> loc-of-death mitigation."""
     singles = ", ".join(
         f"'{name}'" for name, r in sorted(RELATION_BY_NAME.items()) if r.cardinality == "SINGLE"
     )
-    body = _ensemble_body() + f"""
-SELECT entity_name, entity_type, relation, slot_value, slot_ner, n_agree, score
-FROM (
+    return _ensemble_body() + f"""
+, kept AS (
+  SELECT entity_name, entity_type, relation, slot_value, slot_ner, n_agree, score
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY entity_name, entity_type, relation ORDER BY {_W4}
+    ) AS rn
+    FROM ens
+    WHERE score >= {threshold!r}
+  ) t
+  WHERE relation NOT IN ({singles}) OR rn = 1
+), allowed(r_hi, r_lo) AS (
+  SELECT * FROM (VALUES {_allowed_pairs_values()}) v(r_hi, r_lo)
+), ranked AS (
   SELECT *, row_number() OVER (
-    PARTITION BY entity_name, entity_type, relation
-    ORDER BY score DESC,
-             (length(slot_value) - length(replace(slot_value, ' ', ''))) DESC,
-             length(slot_value) DESC,
-             slot_value ASC
-  ) AS rn
-  FROM ens
-  WHERE score >= {threshold!r}
-) t
-WHERE relation NOT IN ({singles}) OR rn = 1
+    PARTITION BY entity_name, entity_type, slot_value ORDER BY {_W4}
+  ) AS rk
+  FROM kept
+), conflict AS (
+  SELECT DISTINCT lo.entity_name, lo.entity_type, lo.relation, lo.slot_value
+  FROM ranked lo
+  JOIN ranked hi
+    ON hi.entity_name = lo.entity_name AND hi.entity_type = lo.entity_type
+   AND hi.slot_value = lo.slot_value AND hi.rk < lo.rk AND hi.relation <> lo.relation
+  WHERE NOT EXISTS (
+    SELECT 1 FROM allowed a WHERE a.r_hi = hi.relation AND a.r_lo = lo.relation
+  )
+), kept2 AS (
+  SELECT k.* FROM kept k
+  LEFT JOIN conflict c
+    ON c.entity_name = k.entity_name AND c.entity_type = k.entity_type
+   AND c.relation = k.relation AND c.slot_value = k.slot_value
+  WHERE c.entity_name IS NULL
+), final_out AS (
+  SELECT * FROM kept2
+  WHERE kept2.relation NOT IN ('per:city_of_death', 'per:country_of_death', 'per:stateorprovince_of_death')
+     OR EXISTS (
+       SELECT 1 FROM kept2 d
+       WHERE d.relation = 'per:date_of_death'
+         AND d.entity_name = kept2.entity_name AND d.entity_type = kept2.entity_type
+     )
+)
+"""
+
+
+def final_triples_sql(threshold: float = 0.5) -> str:
+    return oracle_query(_final_body(threshold) + "SELECT * FROM final_out")
+
+
+def nil_padded_sql(threshold: float = 0.5) -> str:
+    """S10 oracle: full (person query x PER relation) grid, NIL-padded."""
+    per_rels = ", ".join(
+        f"('{name}')" for name in sorted(RELATION_BY_NAME) if name.startswith("per:")
+    )
+    body = _final_body(threshold) + f"""
+, grid AS (
+  SELECT p.person AS query_id, p.person AS entity_name, r.relation
+  FROM (SELECT DISTINCT person FROM turns_base) p
+  CROSS JOIN (SELECT * FROM (VALUES {per_rels}) v(relation)) r
+)
+SELECT g.query_id, g.entity_name, g.relation,
+       coalesce(t.slot_value, 'NIL') AS slot_value,
+       coalesce(t.score, 0.0) AS score
+FROM grid g
+LEFT JOIN final_out t
+  ON t.entity_name = g.entity_name AND t.relation = g.relation
+ AND t.entity_type = 'PERSON'
 """
     return oracle_query(body)

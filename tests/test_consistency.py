@@ -82,3 +82,77 @@ def test_full_battery_composes(spark):
     out = apply_consistency(_triples(spark, rows), spark)
     got = {(r["relation"], r["slot_value"]) for r in out.collect()}
     assert got == {("per:age", "34"), ("per:title", "president")}
+
+
+def test_sanity_check_filters(spark):
+    from stanford_relation_extractor_spark.operators.consistency import sanity_check
+
+    rows = [
+        ("E", "PERSON", "per:age", "34", "NUMBER", 1, 0.9),
+        ("E", "PERSON", "per:age", "200", "NUMBER", 1, 0.9),  # >125
+        ("E", "PERSON", "per:age", "3.5", "NUMBER", 1, 0.9),  # decimal
+        ("O", "ORGANIZATION", "org:number_of_employees/members", "10", "NUMBER", 1, 0.9),  # <25
+        ("O", "ORGANIZATION", "org:number_of_employees/members", "400", "NUMBER", 1, 0.9),
+        ("X", "PERSON", "per:spouse", "X", "PERSON", 1, 0.9),  # self-fill
+        ("Y", "PERSON", "per:title", "t" * 81, "TITLE", 1, 0.9),  # too long
+    ]
+    out = {(r["entity_name"], r["slot_value"]) for r in sanity_check(_triples(spark, rows)).collect()}
+    assert out == {("E", "34"), ("O", "400")}
+
+
+def test_incompatibilities_drop_lower_ranked(spark):
+    from stanford_relation_extractor_spark.operators.consistency import (
+        respect_incompatibilities,
+    )
+
+    rows = [
+        # same (entity, slot): date_of_death is NOT declared overlapping
+        # with date_of_birth -> lower (death, by relation-asc tiebreak) drops
+        ("E", "PERSON", "per:date_of_birth", "1996", "DATE", 2, 0.984),
+        ("E", "PERSON", "per:date_of_death", "1996", "DATE", 2, 0.984),
+        # declared-overlapping pair survives together
+        ("E", "PERSON", "per:country_of_birth", "NATION_2", "COUNTRY", 2, 0.9),
+        ("E", "PERSON", "per:country_of_death", "NATION_2", "COUNTRY", 2, 0.8),
+    ]
+    out = {r["relation"] for r in respect_incompatibilities(_triples(spark, rows), spark).collect()}
+    assert out == {"per:date_of_birth", "per:country_of_birth", "per:country_of_death"}
+
+
+def test_mitigate_loc_of_death(spark):
+    from stanford_relation_extractor_spark.operators.consistency import mitigate_loc_of_death
+
+    rows = [
+        ("A", "PERSON", "per:country_of_death", "NATION_2", "COUNTRY", 2, 0.9),
+        ("A", "PERSON", "per:date_of_death", "1996", "DATE", 2, 0.9),
+        ("B", "PERSON", "per:country_of_death", "NATION_3", "COUNTRY", 2, 0.9),  # no date
+        ("B", "PERSON", "per:age", "30", "NUMBER", 2, 0.9),
+    ]
+    out = {(r["entity_name"], r["relation"]) for r in mitigate_loc_of_death(_triples(spark, rows)).collect()}
+    assert ("A", "per:country_of_death") in out
+    assert ("B", "per:country_of_death") not in out
+    assert ("B", "per:age") in out
+
+
+def test_collapse_employee_member(spark):
+    from stanford_relation_extractor_spark.operators.consistency import (
+        collapse_employee_member,
+    )
+
+    rows = [
+        ("E", "PERSON", "per:employee_of", "Org001", "ORGANIZATION", 2, 0.9),
+        ("E", "PERSON", "per:member_of", "Org001", "ORGANIZATION", 2, 0.8),
+        ("E", "PERSON", "per:member_of", "Org002", "ORGANIZATION", 2, 0.7),
+    ]
+    out = {(r["relation"], r["slot_value"]) for r in collapse_employee_member(_triples(spark, rows)).collect()}
+    assert out == {("per:employee_of", "Org001"), ("per:member_of", "Org002")}
+
+
+def test_cooccurrence_matrix_semantics():
+    from stanford_relation_extractor_spark.ontology import plausibly_cooccurs
+
+    # declared both-direction pairs
+    assert plausibly_cooccurs("per:country_of_birth", "per:country_of_death")
+    assert plausibly_cooccurs("per:employee_of", "per:schools_attended")
+    # missing key on either side -> never co-occurs (RelationType.java:228-230)
+    assert not plausibly_cooccurs("per:date_of_birth", "per:date_of_death")
+    assert not plausibly_cooccurs("org:founded_by", "org:top_members/employees")
