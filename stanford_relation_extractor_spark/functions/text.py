@@ -1,0 +1,121 @@
+"""Scalar text functions (SURVEY.md §2g) + the same-entity cascade (J8).
+
+Python forms are used inside Arrow-batched UDFs and unit tests; column
+forms (where a built-in exists) are preferred in plans:
+
+* F2 `no_special_chars`  — Utils.noSpecialChars (`common/Utils.java:367-395`)
+* F3 token-level Levenshtein — `common/Utils.java:241-290` (string form
+  uses the built-in `F.levenshtein`)
+* F4 acronym build/match — `entitylinking/AcronymMatcher.java:19-131`
+* F5 corporate-suffix strip — `entitylinking/EntityLinker.java:114-133`
+  (column form in operators/linking.py)
+* J8 `same_entity` — the linker cascade of
+  `entitylinking/EntityLinker.java:67-84,189-331`: exact/caseless match,
+  acronym match, token-overlap score with type-specific thresholds,
+  edit-distance <= 1.
+"""
+
+from __future__ import annotations
+
+import re
+
+CORP_SUFFIX_RX = re.compile(r"\s+(inc|ltd|corp|co|llc|corporation|company)\.?$", re.I)
+DETERMINER_RX = re.compile(r"^(the|a|an)\s+", re.I)
+
+
+def no_special_chars(s: str) -> str:
+    """Strip backslash, quotes and dashes; casefold (Utils.java:367-395)."""
+    return re.sub(r"[\\\"'-]", "", s).lower()
+
+
+def strip_corp(s: str) -> str:
+    return CORP_SUFFIX_RX.sub("", DETERMINER_RX.sub("", s.strip()))
+
+
+def acronym(tokens: list[str]) -> str:
+    """First letters of capitalized tokens (AcronymMatcher.java:19-64)."""
+    return "".join(t[0].upper() for t in tokens if t and t[0].isalpha())
+
+
+def is_acronym_of(short: str, long_tokens: list[str]) -> bool:
+    """AcronymMatcher.isAcronym: short form == initials of the long form."""
+    s = re.sub(r"[^A-Za-z]", "", short).upper()
+    return len(s) > 1 and s == acronym(long_tokens)
+
+
+def token_levenshtein(a: list[str], b: list[str]) -> int:
+    """Edit distance over token sequences (Utils.java:241-290)."""
+    m, n = len(a), len(b)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(
+                prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (a[i - 1] != b[j - 1])
+            )
+        prev = cur
+    return prev[n]
+
+
+# type-specific token-overlap acceptance thresholds (EntityLinker cascade)
+OVERLAP_THRESHOLD = {"PERSON": 0.99, "ORGANIZATION": 0.75}
+
+
+def same_entity(a: str, b: str, entity_type: str = "ORGANIZATION") -> bool:
+    """J8 cascade: returns True when the two surfaces plausibly denote
+    one entity. Deterministic, order-independent."""
+    na, nb = no_special_chars(strip_corp(a)), no_special_chars(strip_corp(b))
+    if na == nb:
+        return True
+    ta, tb = na.split(), nb.split()
+    # acronym match (orgs)
+    if entity_type == "ORGANIZATION" and (
+        is_acronym_of(a.strip(), strip_corp(b).split())
+        or is_acronym_of(b.strip(), strip_corp(a).split())
+    ):
+        return True
+    # token containment / overlap score
+    inter = len(set(ta) & set(tb))
+    denom = min(len(ta), len(tb))
+    if denom and inter / denom >= OVERLAP_THRESHOLD.get(entity_type, 0.99) and inter >= 1:
+        # PERSON requires shared surname-like final token
+        if entity_type != "PERSON" or (ta and tb and ta[-1] == tb[-1]):
+            return True
+    # near-typo: string edit distance <= 1 on the normalized form
+    if abs(len(na) - len(nb)) <= 1 and _lev_le1(na, nb):
+        return True
+    return False
+
+
+def _lev_le1(a: str, b: str) -> bool:
+    if a == b:
+        return True
+    if abs(len(a) - len(b)) > 1:
+        return False
+    # one substitution
+    if len(a) == len(b):
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    # one insertion/deletion
+    if len(a) > len(b):
+        a, b = b, a
+    i = j = diff = 0
+    while i < len(a) and j < len(b):
+        if a[i] == b[j]:
+            i += 1
+            j += 1
+        else:
+            diff += 1
+            if diff > 1:
+                return False
+            j += 1
+    return True
+
+
+def blocking_key(name: str) -> str:
+    """Candidate-pair blocking key (J8 at scale): normalized last token
+    + first character — never O(n^2) pair generation."""
+    n = no_special_chars(strip_corp(name))
+    toks = n.split()
+    if not toks:
+        return ""
+    return f"{toks[-1]}:{n[:1]}"

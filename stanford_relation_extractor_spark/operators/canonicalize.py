@@ -74,6 +74,69 @@ def connected_components(
     return labels
 
 
+def same_entity_edges(entities: DataFrame) -> DataFrame:
+    """J8 at scale: candidate pairs by blocking, scored by the linker
+    cascade — never an O(n^2) cross join.
+
+    ``entities``: (entity_name, entity_type) distinct. Pairs are
+    generated only within a blocking key (normalized last token + first
+    char, `functions/text.py`), then judged by ``same_entity``
+    (EntityLinker.java:67-84 cascade) inside an Arrow batch. Output:
+    undirected (src, dst) edges for connected components.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..functions.text import blocking_key, same_entity
+
+    def add_block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["block"] = pdf["entity_name"].map(blocking_key)
+            yield pdf
+
+    keyed = entities.select("entity_name", "entity_type").mapInPandas(
+        add_block, schema="entity_name string, entity_type string, block string"
+    ).filter(F.col("block") != "")
+    a = keyed.select(
+        F.col("entity_name").alias("src"), F.col("entity_type").alias("et"), "block"
+    )
+    b = keyed.select(
+        F.col("entity_name").alias("dst"),
+        F.col("entity_type").alias("et_b"),
+        F.col("block").alias("block_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("block") == F.col("block_b"))
+        & (F.col("et") == F.col("et_b"))
+        & (F.col("src") < F.col("dst")),
+    ).select("src", "dst", "et")
+
+    def judge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mask = [
+                same_entity(s, d, t)
+                for s, d, t in zip(pdf["src"], pdf["dst"], pdf["et"])
+            ]
+            yield pdf[pd.Series(mask, index=pdf.index)][["src", "dst"]]
+
+    return pairs.mapInPandas(judge, schema="src string, dst string")
+
+
+def canonicalize_entities(triples: DataFrame, entities: DataFrame | None = None) -> DataFrame:
+    """Full stage-5: blocking pairs -> cascade edges -> connected
+    components -> rewrite entity_name to the component representative."""
+    ents = (
+        entities
+        if entities is not None
+        else triples.select("entity_name", "entity_type").distinct()
+    )
+    comps = connected_components(same_entity_edges(ents))
+    return rewrite_with_components(triples, comps)
+
+
 def rewrite_with_components(
     triples: DataFrame, components: DataFrame, col: str = "entity_name"
 ) -> DataFrame:

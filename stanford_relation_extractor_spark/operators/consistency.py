@@ -200,18 +200,36 @@ def enforce_cardinality(triples: DataFrame) -> DataFrame:
 
 
 def apply_consistency(
-    triples: DataFrame, spark: SparkSession, threshold: float = GLOBAL_SCORE_THRESHOLD
+    triples: DataFrame,
+    spark: SparkSession,
+    threshold: float = GLOBAL_SCORE_THRESHOLD,
+    assume_unique: bool = False,
 ) -> DataFrame:
     """The full stage-6 battery, reference order: unary filters first
     (cheap, prunes early), then pairwise/windowed checks, then the
-    hold-one-out pass (SlotfillPostProcessor.java:83-190)."""
+    hold-one-out pass (SlotfillPostProcessor.java:83-190).
+
+    Shuffle plan: ONE explicit repartition on (entity_name, entity_type);
+    every window/join key downstream is a superset of that prefix, so
+    Catalyst's EnsureRequirements reuses the exchange for the collapse /
+    cardinality / incompatibility / mitigation passes instead of
+    re-shuffling per operator. ``assume_unique=True`` (the ensemble
+    output is already unique on the triple key) skips the O2 pass.
+    """
     out = type_check(triples, spark)
     out = sanity_check(out)
     out = threshold_filter(out, threshold)
-    out = dedup_exact(out)
+    out = out.repartition(F.col("entity_name"), F.col("entity_type"))
+    if not assume_unique:
+        out = dedup_exact(out)
     out = collapse_employee_member(out)
     out = remove_low_weight_competitors(out)
     out = enforce_cardinality(out)
+    # The pairwise (O6) and hold-one-out (loc-of-death) passes branch the
+    # plan 2-3x; materialize the (small) surviving set once so the heavy
+    # extraction+ensemble subtree executes exactly once per action. In
+    # the production path run_pipeline's stage checkpoint plays this role.
+    out = out.localCheckpoint(eager=False)
     out = respect_incompatibilities(out, spark)
     out = mitigate_loc_of_death(out)
     return out.drop("cardinality")

@@ -4,21 +4,21 @@ Re-expresses `stanford-kbp/.../slotfilling/classify/EnsembleRelationExtractor.ja
 (noisy-or at `:293`, agreement gates at `:303-332`) as pure built-in
 aggregates — no UDAF:
 
-1. per-(group, extractor) score = max over that extractor's sentence
-   votes (the at-least-once pooling of
-   `OneVsAllRelationExtractor.java:82-99`);
+1. ONE hash aggregation over the triple group key pivots the (small,
+   fixed) extractor set into per-extractor max-score and best-vote
+   columns — a single shuffle with map-side partial aggregation (the
+   naive per-(group, extractor) pre-aggregation costs a second
+   exchange; pivoting removes it).
 2. per group: ``n_agree`` = #extractors voting, combined score =
-   noisy-or ``1 - exp(sum(log1p(-w)))`` over per-extractor weights,
-   gate per AGREE_{ANY,ALL,MOST,TWO,FIRST} (default AGREE_MOST,
-   `common/Props.java:495`);
-3. provenance = the argmax-weight extractor's best vote, made
-   deterministic by total-order struct comparison (SURVEY.md §7: every
-   window/argmax carries a total ordering key).
+   noisy-or ``1 - prod(1 - w_i)``, gate per AGREE_{ANY,ALL,MOST,TWO,
+   FIRST} (default AGREE_MOST, `common/Props.java:495`).
+3. provenance = the argmax-weight extractor's best vote, deterministic
+   via total-order struct comparison (SURVEY.md §7).
 
-This is the first shuffle of the pipeline (hash agg with map-side
-partial aggregation). Hot keys (celebrity entities) are handled by the
-partial agg + AQE; the group key includes slot_value so key cardinality
-is high and well spread.
+Per-extractor score = max over that extractor's sentence votes (the
+at-least-once pooling of `OneVsAllRelationExtractor.java:82-99`).
+Hot keys (celebrity entities) are smoothed by partial aggregation +
+AQE; the group key includes slot_value so cardinality is high.
 """
 
 from __future__ import annotations
@@ -28,8 +28,9 @@ from pyspark.sql import functions as F
 
 GROUP_KEY = ["entity_name", "entity_type", "relation", "slot_value", "slot_ner"]
 
-N_EXTRACTORS = 3  # pattern, trigger, window
-FIRST_EXTRACTOR = "pattern"  # AGREE_FIRST's classifier[0]
+EXTRACTORS = ("pattern", "trigger", "window")
+N_EXTRACTORS = len(EXTRACTORS)
+FIRST_EXTRACTOR = EXTRACTORS[0]  # AGREE_FIRST's classifier[0]
 
 AGREE_ANY = "AGREE_ANY"
 AGREE_ALL = "AGREE_ALL"
@@ -40,63 +41,101 @@ AGREE_FIRST = "AGREE_FIRST"
 
 def combine_votes(
     votes: DataFrame,
-    n_extractors: int = N_EXTRACTORS,
+    n_extractors: int | None = None,
     combination: str = AGREE_MOST,
     round_digits: int = 6,
+    extractors: tuple[str, ...] = EXTRACTORS,
 ) -> DataFrame:
     """votes -> gated, noisy-or-scored candidate triples with provenance."""
-    prov = F.struct(
+    n_ext = n_extractors if n_extractors is not None else len(extractors)
+
+    vote_struct = F.struct(
         (-F.col("score")).alias("neg_w"),
         F.col("conv_id"), F.col("turn_idx"), F.col("sent_idx"),
         F.col("entity_begin"), F.col("entity_end"),
         F.col("slot_begin"), F.col("slot_end"),
     )
-    per_extractor = votes.groupBy(*GROUP_KEY, "extractor").agg(
-        F.max("score").alias("w"),
-        F.min(prov).alias("best_vote"),  # struct min = (max w, then stable position order)
-    )
+    aggs = []
+    for i, ex in enumerate(extractors):
+        cond = F.col("extractor") == ex
+        aggs.append(F.max(F.when(cond, F.col("score"))).alias(f"_w{i}"))
+        # struct-min = (max weight, then stable position order): the
+        # extractor's best vote, bit-deterministically chosen.
+        aggs.append(F.min(F.when(cond, vote_struct)).alias(f"_p{i}"))
+    agg = votes.groupBy(*GROUP_KEY).agg(*aggs)
 
-    agg = per_extractor.groupBy(*GROUP_KEY).agg(
-        F.count("*").cast("int").alias("n_agree"),
-        F.round(F.lit(1.0) - F.exp(F.sum(F.log1p(-F.col("w")))), round_digits).alias("score"),
-        F.sort_array(F.collect_list("w"), asc=False).alias("ws"),
-        F.max(F.when(F.col("extractor") == FIRST_EXTRACTOR, F.col("w"))).alias("first_w"),
-        F.min(F.struct((-F.col("w")).alias("neg_w"), F.col("extractor"), F.col("best_vote"))).alias("best"),
+    ws = F.array_sort(
+        F.filter(F.array(*[F.col(f"_w{i}") for i in range(len(extractors))]), lambda x: x.isNotNull())
     )
+    ws_desc = F.reverse(ws)
+    agg = agg.withColumn("_ws", ws_desc)
 
-    top2 = F.round(
+    n_agree = F.size("_ws").alias("n_agree")
+    noisy_or = F.round(
         F.lit(1.0)
-        - (F.lit(1.0) - F.col("ws").getItem(0))
-        * (F.lit(1.0) - F.coalesce(F.try_element_at(F.col("ws"), F.lit(2)), F.lit(0.0))),
+        - F.aggregate(F.col("_ws"), F.lit(1.0), lambda acc, w: acc * (F.lit(1.0) - w)),
         round_digits,
+    )
+    top1 = F.try_element_at(F.col("_ws"), F.lit(1))
+    top2 = F.coalesce(F.try_element_at(F.col("_ws"), F.lit(2)), F.lit(0.0))
+    top2_noisy_or = F.round(
+        F.lit(1.0) - (F.lit(1.0) - top1) * (F.lit(1.0) - top2), round_digits
+    )
+    first_idx = extractors.index(FIRST_EXTRACTOR) if FIRST_EXTRACTOR in extractors else 0
+    first_w = F.col(f"_w{first_idx}")
+
+    # argmax-weight extractor's best vote: candidates sorted by
+    # (neg weight, extractor name, vote position) — total order.
+    candidates = F.array(
+        *[
+            F.when(
+                F.col(f"_w{i}").isNotNull(),
+                F.struct(
+                    (-F.col(f"_w{i}")).alias("neg_w"),
+                    F.lit(ex).alias("extractor"),
+                    F.col(f"_p{i}").alias("best_vote"),
+                ),
+            )
+            for i, ex in enumerate(extractors)
+        ]
+    )
+    best = F.try_element_at(
+        F.array_sort(F.filter(candidates, lambda x: x.isNotNull())), F.lit(1)
+    )
+    agg = agg.withColumn("_best", best)
+
+    scored = agg.select(
+        *GROUP_KEY,
+        n_agree.cast("int").alias("n_agree"),
+        noisy_or.alias("score"),
+        top2_noisy_or.alias("_score_top2"),
+        F.round(first_w, round_digits).alias("_first_w"),
+        F.col("_best.extractor").alias("provenance_extractor"),
+        F.col("_best.best_vote.conv_id").alias("conv_id"),
+        F.col("_best.best_vote.turn_idx").alias("turn_idx"),
+        F.col("_best.best_vote.sent_idx").alias("sent_idx"),
+        F.col("_best.best_vote.entity_begin").alias("entity_begin"),
+        F.col("_best.best_vote.entity_end").alias("entity_end"),
+        F.col("_best.best_vote.slot_begin").alias("slot_begin"),
+        F.col("_best.best_vote.slot_end").alias("slot_end"),
     )
 
     if combination == AGREE_ANY:
-        gated = agg.filter(F.col("n_agree") > 0)
+        gated = scored.filter(F.col("n_agree") > 0)
     elif combination == AGREE_ALL:
-        gated = agg.filter(F.col("n_agree") >= n_extractors)
+        gated = scored.filter(F.col("n_agree") >= n_ext)
     elif combination == AGREE_MOST:
         # Java integer division: classifiers.size() / 2
-        gated = agg.filter(F.col("n_agree") >= n_extractors // 2)
+        gated = scored.filter(F.col("n_agree") >= n_ext // 2)
     elif combination == AGREE_TWO:
-        gated = agg.filter(F.col("n_agree") >= 2).withColumn("score", top2)
+        gated = scored.filter(F.col("n_agree") >= 2).withColumn(
+            "score", F.col("_score_top2")
+        )
     elif combination == AGREE_FIRST:
-        gated = agg.filter(F.col("first_w").isNotNull()).withColumn(
-            "score", F.round(F.col("first_w"), round_digits)
+        gated = scored.filter(F.col("_first_w").isNotNull()).withColumn(
+            "score", F.col("_first_w")
         )
     else:
         raise ValueError(f"unknown ensemble combination {combination!r}")
 
-    return gated.select(
-        *GROUP_KEY,
-        "n_agree",
-        "score",
-        F.col("best.extractor").alias("provenance_extractor"),
-        F.col("best.best_vote.conv_id").alias("conv_id"),
-        F.col("best.best_vote.turn_idx").alias("turn_idx"),
-        F.col("best.best_vote.sent_idx").alias("sent_idx"),
-        F.col("best.best_vote.entity_begin").alias("entity_begin"),
-        F.col("best.best_vote.entity_end").alias("entity_end"),
-        F.col("best.best_vote.slot_begin").alias("slot_begin"),
-        F.col("best.best_vote.slot_end").alias("slot_end"),
-    )
+    return gated.drop("_score_top2", "_first_w")

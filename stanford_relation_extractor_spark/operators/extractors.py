@@ -274,3 +274,40 @@ def extract_votes(sentences: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=VOTE_COLUMNS)
 
     return sentences.mapInPandas(run, schema=VOTES_SCHEMA)
+
+
+def extract_votes_fused(transcripts: DataFrame, config: list[tuple[str, str]]) -> DataFrame:
+    """transcripts -> votes in ONE Arrow pass (sentence split + mention
+    detection + pairing + all three extractors fused).
+
+    Functionally identical to ``detect_mentions |> extract_votes`` but
+    skips the intermediate Arrow serialization of the mentions column —
+    the hot path for the materialized pipeline and the benchmark.
+    """
+    import re as _re
+
+    from .mentions import MAX_SENT_TOKENS, detect, split_sentences
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        matchers = [(ner, _re.compile(rx)) for ner, rx in config]
+        pbank = _compiled_pattern_bank()
+        tbank = _compiled_trigger_bank()
+        for pdf in batches:
+            rows: list[tuple[Any, ...]] = []
+            for conv_id, turn_idx, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
+                for sent_idx, sent in enumerate(split_sentences(text)):
+                    if sent.count(" ") >= MAX_SENT_TOKENS:
+                        continue
+                    mentions = detect(sent, matchers)
+                    if len(mentions) < 2:
+                        continue
+                    for vote in votes_for_sentence(sent, mentions, pbank, tbank):
+                        (en, et, eb, ee, sv, sn, sb, se, rel, ex, sc) = vote
+                        rows.append(
+                            (conv_id, turn_idx, sent_idx, en, et, eb, ee, sv, sn, sb, se, rel, ex, sc)
+                        )
+            yield pd.DataFrame(rows, columns=VOTE_COLUMNS)
+
+    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+        run, schema=VOTES_SCHEMA
+    )

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.consistency import apply_consistency
 from ..operators.ensemble import AGREE_MOST, combine_votes
-from ..operators.extractors import extract_votes
+from ..operators.extractors import extract_votes, extract_votes_fused
 from ..operators.linking import canonicalize_names
 from ..operators.mentions import detect_mentions
 from ..sources.synthetic import (
@@ -33,14 +33,16 @@ def build_stages(
     t = transcripts if transcripts is not None else transcripts_df(spark, sf_dir)
     config = detector_config(country_gazetteer(spark, sf_dir))
     sentences = detect_mentions(t, config)
-    votes = extract_votes(sentences)
+    # hot path: sentence split + detection + pairing + extractors fused
+    # into one Arrow pass (identical semantics to extract_votes(sentences))
+    votes = extract_votes_fused(t, config)
     # stage 4 LINK: canonicalize surfaces (nickname J6 + suffix strip F5)
     # before grouping, as the reference links before Featurizer grouping.
     linked_votes = canonicalize_names(
         votes, ["entity_name", "slot_value"], NICKNAMES, CORP_SUFFIXES
     )
     candidates = combine_votes(linked_votes, combination=combination)
-    triples = apply_consistency(candidates, spark)
+    triples = apply_consistency(candidates, spark, assume_unique=True)
     return {
         "transcripts": t,
         "sentences": sentences,
