@@ -46,6 +46,13 @@ def main() -> None:
     bench("q_votes", stages["votes"])
     bench("q_ensemble", stages["candidates"])
 
+    # training-data pipeline headliners
+    from stanford_relation_extractor_spark.datapipe import queries as dq
+
+    bench("q_minhash_lsh", dq.q_minhash_lsh(spark, SF_DIR))
+    bench("q_knn", dq.q_knn_bruteforce(spark, SF_DIR))
+    bench("q_quality", dq.q_quality(spark, SF_DIR))
+
     # headline: the full pipeline end-to-end, fresh DAG
     t0 = time.monotonic()
     force(build_stages(spark, SF_DIR)["triples"])

@@ -138,11 +138,26 @@ def respect_incompatibilities(triples: DataFrame, spark: SparkSession) -> DataFr
     incompat = spark.createDataFrame(
         list(incompatible_pairs()), "inc_hi string, inc_lo string"
     )
+    had_cardinality = "cardinality" in triples.columns
+    if not had_cardinality:
+        card = F.broadcast(relation_schema_df(spark).select("relation", "cardinality"))
+        triples = triples.join(card, "relation", "left")
     w = Window.partitionBy("entity_name", "entity_type", "slot_value").orderBy(
         *tiebreak_order()
     )
     ranked = triples.withColumn("_rk", F.row_number().over(w))
-    hi = ranked.select(
+    # The blocking ("higher") side is restricted to fills that survive
+    # their own relation's cardinality top-1: in the reference's greedy
+    # loop a fill rejected for cardinality is never in the accepted set,
+    # so it cannot block others (exact for conflict chains <= 2; see
+    # greedy_consistency for the per-entity exact form).
+    w_rel = Window.partitionBy("entity_name", "entity_type", "relation").orderBy(
+        *tiebreak_order()
+    )
+    ranked = ranked.withColumn("_rel_rn", F.row_number().over(w_rel))
+    hi = ranked.filter(
+        (F.col("cardinality") == "LIST") | (F.col("_rel_rn") == 1)
+    ).select(
         F.col("entity_name").alias("e"), F.col("entity_type").alias("et"),
         F.col("slot_value").alias("s"), F.col("relation").alias("rel_hi"),
         F.col("_rk").alias("rk_hi"),
@@ -163,9 +178,10 @@ def respect_incompatibilities(triples: DataFrame, spark: SparkSession) -> DataFr
         .select("entity_name", "entity_type", "relation", "slot_value")
         .distinct()
     )
-    return ranked.join(
+    out = ranked.join(
         conflicts, ["entity_name", "entity_type", "relation", "slot_value"], "left_anti"
-    ).drop("_rk")
+    ).drop("_rk", "_rel_rn")
+    return out if had_cardinality else out.drop("cardinality")
 
 
 LOC_OF_DEATH = ("per:city_of_death", "per:country_of_death", "per:stateorprovince_of_death")
@@ -199,6 +215,68 @@ def enforce_cardinality(triples: DataFrame) -> DataFrame:
     )
 
 
+def greedy_consistency(triples: DataFrame) -> DataFrame:
+    """W1 — the reference's greedy activation loop
+    (`HeuristicSlotfillPostProcessor.java:69-200`) as a grouped
+    ``applyInPandas``: per entity, walk fills in W4 score order and keep
+    each only if consistent with everything already accepted (pairwise:
+    single-cardinality, employee/member collapse, declared
+    incompatibilities; hold-one-out: loc-of-death needs date-of-death).
+
+    Entity groups are tiny (dozens of fills), so the per-group quadratic
+    is fine — the distribution over entities is the win (SURVEY.md §4).
+    Semantically equivalent to the join/window battery of
+    ``apply_consistency`` on conflict chains of depth <= 2; on deeper
+    chains this variant is the exact greedy semantics.
+    """
+    import pandas as pd
+
+    from ..ontology import RELATION_BY_NAME, plausibly_cooccurs
+
+    cardinality = {name: r.cardinality for name, r in RELATION_BY_NAME.items()}
+
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        order = pdf.assign(
+            _tok=pdf["slot_value"].str.split(" ").str.len(),
+            _len=pdf["slot_value"].str.len(),
+        ).sort_values(
+            ["score", "_tok", "_len", "slot_value", "relation"],
+            ascending=[False, False, False, True, True],
+            kind="mergesort",
+        )
+        accepted: list = []
+        for row in order.itertuples(index=False):
+            ok = True
+            for prev in accepted:
+                if prev.relation == row.relation and cardinality.get(row.relation) == "SINGLE":
+                    ok = False
+                elif (
+                    {prev.relation, row.relation} == {"per:employee_of", "per:member_of"}
+                    and prev.slot_value == row.slot_value
+                ):
+                    ok = False
+                elif (
+                    prev.slot_value == row.slot_value
+                    and prev.relation != row.relation
+                    and not plausibly_cooccurs(prev.relation, row.relation)
+                ):
+                    ok = False
+                if not ok:
+                    break
+            if ok:
+                accepted.append(row)
+        # hold-one-out: loc_of_death requires an accepted date_of_death
+        has_dod = any(r.relation == "per:date_of_death" for r in accepted)
+        if not has_dod:
+            accepted = [r for r in accepted if r.relation not in LOC_OF_DEATH]
+        out = pd.DataFrame(accepted, columns=list(order.columns))
+        return out.drop(columns=["_tok", "_len"])
+
+    return triples.groupBy("entity_name", "entity_type").applyInPandas(
+        run, schema=triples.schema
+    )
+
+
 def apply_consistency(
     triples: DataFrame,
     spark: SparkSession,
@@ -224,12 +302,17 @@ def apply_consistency(
         out = dedup_exact(out)
     out = collapse_employee_member(out)
     out = remove_low_weight_competitors(out)
-    out = enforce_cardinality(out)
     # The pairwise (O6) and hold-one-out (loc-of-death) passes branch the
     # plan 2-3x; materialize the (small) surviving set once so the heavy
     # extraction+ensemble subtree executes exactly once per action. In
     # the production path run_pipeline's stage checkpoint plays this role.
     out = out.localCheckpoint(eager=False)
+    # O6 runs BEFORE the cardinality top-1 so that, like the reference's
+    # greedy activation loop, a rejected best fill lets the next-best
+    # fill of the same SINGLE relation take its place
+    # (HeuristicSlotfillPostProcessor.java:69-137; see greedy_consistency
+    # for the exact per-entity form — equivalent on chains <= 2).
     out = respect_incompatibilities(out, spark)
+    out = enforce_cardinality(out)
     out = mitigate_loc_of_death(out)
     return out.drop("cardinality")

@@ -254,38 +254,47 @@ def _final_body(threshold: float = 0.5) -> str:
         f"'{name}'" for name, r in sorted(RELATION_BY_NAME.items()) if r.cardinality == "SINGLE"
     )
     return _ensemble_body() + f"""
-, kept AS (
+, base AS (
   SELECT entity_name, entity_type, relation, slot_value, slot_ner, n_agree, score
-  FROM (
-    SELECT *, row_number() OVER (
-      PARTITION BY entity_name, entity_type, relation ORDER BY {_W4}
-    ) AS rn
-    FROM ens
-    WHERE score >= {threshold!r}
-  ) t
-  WHERE relation NOT IN ({singles}) OR rn = 1
+  FROM ens WHERE score >= {threshold!r}
 ), allowed(r_hi, r_lo) AS (
   SELECT * FROM (VALUES {_allowed_pairs_values()}) v(r_hi, r_lo)
 ), ranked AS (
-  SELECT *, row_number() OVER (
-    PARTITION BY entity_name, entity_type, slot_value ORDER BY {_W4}
-  ) AS rk
-  FROM kept
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY entity_name, entity_type, slot_value ORDER BY {_W4}
+         ) AS rk,
+         row_number() OVER (
+           PARTITION BY entity_name, entity_type, relation ORDER BY {_W4}
+         ) AS rel_rn
+  FROM base
 ), conflict AS (
+  -- greedy-loop fidelity: only fills surviving their relation's
+  -- cardinality top-1 can block others
   SELECT DISTINCT lo.entity_name, lo.entity_type, lo.relation, lo.slot_value
   FROM ranked lo
   JOIN ranked hi
     ON hi.entity_name = lo.entity_name AND hi.entity_type = lo.entity_type
    AND hi.slot_value = lo.slot_value AND hi.rk < lo.rk AND hi.relation <> lo.relation
+   AND (hi.relation NOT IN ({singles}) OR hi.rel_rn = 1)
   WHERE NOT EXISTS (
     SELECT 1 FROM allowed a WHERE a.r_hi = hi.relation AND a.r_lo = lo.relation
   )
-), kept2 AS (
-  SELECT k.* FROM kept k
+), ok AS (
+  SELECT b.* FROM base b
   LEFT JOIN conflict c
-    ON c.entity_name = k.entity_name AND c.entity_type = k.entity_type
-   AND c.relation = k.relation AND c.slot_value = k.slot_value
+    ON c.entity_name = b.entity_name AND c.entity_type = b.entity_type
+   AND c.relation = b.relation AND c.slot_value = b.slot_value
   WHERE c.entity_name IS NULL
+), kept2 AS (
+  SELECT entity_name, entity_type, relation, slot_value, slot_ner, n_agree, score
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY entity_name, entity_type, relation ORDER BY {_W4}
+    ) AS rn
+    FROM ok
+  ) t
+  WHERE relation NOT IN ({singles}) OR rn = 1
 ), final_out AS (
   SELECT * FROM kept2
   WHERE kept2.relation NOT IN ('per:city_of_death', 'per:country_of_death', 'per:stateorprovince_of_death')

@@ -156,3 +156,28 @@ def test_cooccurrence_matrix_semantics():
     # missing key on either side -> never co-occurs (RelationType.java:228-230)
     assert not plausibly_cooccurs("per:date_of_birth", "per:date_of_death")
     assert not plausibly_cooccurs("org:founded_by", "org:top_members/employees")
+
+
+def test_greedy_consistency_matches_battery_on_corpus(spark):
+    """W1 greedy (applyInPandas) vs the join/window battery: identical
+    surviving triple sets on the synthetic corpus."""
+    from pyspark.sql import functions as F
+
+    from stanford_relation_extractor_spark.operators.consistency import (
+        greedy_consistency,
+        type_check,
+        threshold_filter,
+        sanity_check,
+    )
+    from stanford_relation_extractor_spark.plans.pipeline import build_stages
+
+    stages = build_stages(spark, "/root/testdata/sf0.001")
+    pre = threshold_filter(sanity_check(type_check(stages["candidates"], spark))).drop(
+        "cardinality"
+    )
+    greedy = greedy_consistency(pre)
+    battery = stages["triples"]
+    key = ["entity_name", "entity_type", "relation", "slot_value"]
+    g = {tuple(r) for r in greedy.select(*key).collect()}
+    b = {tuple(r) for r in battery.select(*key).collect()}
+    assert g == b
