@@ -111,6 +111,47 @@ def _lev_le1(a: str, b: str) -> bool:
     return True
 
 
+_ALT_NAME_VARIANT_RX = re.compile(
+    r"\s+(inc|ltd|corp|co|llc|corporation|company|the)\.?\b|[^a-z0-9 ]", re.I
+)
+
+
+def remove_disallowed_alternate_name_variants(name: str) -> str:
+    """Utils.removeDisallowedAlternateNameVariants — strip corporate
+    designators / punctuation so 'Acme Corp.' ~ 'Acme'."""
+    return re.sub(r"\s+", " ", _ALT_NAME_VARIANT_RX.sub("", name.lower())).strip()
+
+
+def is_valid_alternate_name(name1: str, name2: str) -> bool:
+    """F6 Utils.isValidAlternateName (`common/Utils.java:411`): an
+    alternate name is valid iff it differs beyond disallowed variants."""
+    return remove_disallowed_alternate_name_variants(
+        name1
+    ) != remove_disallowed_alternate_name_variants(name2)
+
+
+_YEAR_RX = re.compile(r"^(1[0-9]{3}|2[0-9]{3})$")
+_YM_RX = re.compile(r"^(1[0-9]{3}|2[0-9]{3})[-/](\d{1,2})$")
+_YMD_RX = re.compile(r"^(1[0-9]{3}|2[0-9]{3})[-/](\d{1,2})[-/](\d{1,2})$")
+
+
+def normalize_date_slot(value: str) -> str | None:
+    """F7 — simplified SUTime/Timex normalization
+    (`shallowdive/TextOps.java:360-375`): YEAR -> 'YYYY',
+    YEAR-MONTH -> 'YYYY-MM', full date -> 'YYYY-MM-DD'; None when the
+    value is not an absolute date."""
+    v = value.strip()
+    if _YEAR_RX.match(v):
+        return v
+    m = _YM_RX.match(v)
+    if m:
+        return f"{m.group(1)}-{int(m.group(2)):02d}"
+    m = _YMD_RX.match(v)
+    if m:
+        return f"{m.group(1)}-{int(m.group(2)):02d}-{int(m.group(3)):02d}"
+    return None
+
+
 def blocking_key(name: str) -> str:
     """Candidate-pair blocking key (J8 at scale): normalized last token
     + first character — never O(n^2) pair generation."""

@@ -215,6 +215,129 @@ def enforce_cardinality(triples: DataFrame) -> DataFrame:
     )
 
 
+def dedup_approximate(triples: DataFrame) -> DataFrame:
+    """O3 NoDuplicatesApproximate (`HeuristicSlotfillPostProcessors.java:672-741`):
+    within (entity, relation), slots judged same-entity by the linker
+    cascade keep only the top-ranked fill.
+
+    Blocking self-join (functions/text.blocking_key) + cascade judge —
+    never O(n^2) — then the W4-lower member of each matched pair drops.
+    alternate_names relations are exempt unless the variants are
+    *disallowed* (Utils.isValidAlternateName:411).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..functions.text import blocking_key, is_valid_alternate_name, same_entity
+
+    def add_block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["_block"] = pdf["slot_value"].map(blocking_key)
+            yield pdf
+
+    w = Window.partitionBy("entity_name", "entity_type", "relation").orderBy(
+        *tiebreak_order()
+    )
+    ranked = triples.withColumn("_rk", F.row_number().over(w))
+    keyed = ranked.select(
+        "entity_name", "entity_type", "relation", "slot_value", "_rk"
+    ).mapInPandas(
+        add_block,
+        schema=(
+            "entity_name string, entity_type string, relation string, "
+            "slot_value string, _rk int, _block string"
+        ),
+    )
+    a = keyed.select(
+        F.col("entity_name").alias("e"), F.col("entity_type").alias("et"),
+        F.col("relation").alias("r"), F.col("slot_value").alias("s_hi"),
+        F.col("_rk").alias("rk_hi"), F.col("_block").alias("b_hi"),
+    )
+    pairs = keyed.join(
+        a,
+        (F.col("entity_name") == F.col("e"))
+        & (F.col("entity_type") == F.col("et"))
+        & (F.col("relation") == F.col("r"))
+        & (F.col("_block") == F.col("b_hi"))
+        & (F.col("rk_hi") < F.col("_rk")),
+    ).select("entity_name", "entity_type", "relation", "slot_value", "s_hi")
+
+    def judge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mask = []
+            for r in pdf.itertuples(index=False):
+                alt = r.relation.endswith("alternate_names")
+                if alt:
+                    dup = not is_valid_alternate_name(r.slot_value, r.s_hi)
+                else:
+                    etype = "PERSON" if r.relation.startswith("per:") else "ORGANIZATION"
+                    dup = same_entity(r.slot_value, r.s_hi, etype)
+                mask.append(dup)
+            yield pdf[pd.Series(mask, index=pdf.index)][
+                ["entity_name", "entity_type", "relation", "slot_value"]
+            ]
+
+    dups = pairs.mapInPandas(
+        judge,
+        schema="entity_name string, entity_type string, relation string, slot_value string",
+    ).distinct()
+    return triples.join(
+        dups, ["entity_name", "entity_type", "relation", "slot_value"], "left_anti"
+    )
+
+
+# P8 ConformToGuidelinesFilter sets (HeuristicSlotfillPostProcessors.java:173-289)
+INVALID_TOP_EMPLOYEES = (
+    "spokesperson", "spokesman", "spokeswoman", "chief customer officer", "cco",
+    "information officer", "chief compliance officer", "frontman",
+    "secretary of information", "supreme court justice", "house minority leader",
+    "press secretary", "representative", "senior advisor", "senior editor", "member",
+)
+INVALID_ORG_ALT_NAMES = (
+    "association", "society", "group", "corporation", "corp", "corp.", "llc",
+)
+INVALID_TITLES = ("senior leader", "leader", "member", "hero", "socialite", "rep.")
+
+
+def conform_to_guidelines(triples: DataFrame) -> DataFrame:
+    """P8 (`:173-289`) + P9 URL-relatedness (`:290-332`): guideline
+    hygiene — invalid titles / org alternate names, date-slot shape
+    (YEAR or YEAR-MONTH or full date), and org:website must share a
+    token stem with the org name."""
+    lower_slot = F.lower(F.col("slot_value"))
+    date_shape = F.col("slot_value").rlike(r"^\d{4}([-/]\d{1,2}([-/]\d{1,2})?)?$")
+    # org stem: first run of letters in the entity name, lowercased
+    stem = F.lower(F.regexp_extract(F.col("entity_name"), r"([A-Za-z]+)", 1))
+    url_related = (F.length(stem) >= 3) & F.lower(F.col("slot_value")).contains(stem)
+    keep = (
+        F.when(F.col("relation") == "per:title", ~lower_slot.isin(*INVALID_TITLES))
+        .otherwise(F.lit(True))
+        & F.when(
+            F.col("relation") == "org:top_members/employees",
+            ~lower_slot.isin(*INVALID_TOP_EMPLOYEES),
+        ).otherwise(F.lit(True))
+        & F.when(
+            F.col("relation") == "org:alternate_names",
+            ~lower_slot.isin(*INVALID_ORG_ALT_NAMES),
+        ).otherwise(F.lit(True))
+        & F.when(F.col("slot_ner") == "DATE", date_shape).otherwise(F.lit(True))
+        & F.when(F.col("relation") == "org:website", url_related).otherwise(F.lit(True))
+    )
+    return triples.filter(keep)
+
+
+def normalize_scores(df: DataFrame, group_cols: list[str], score_col: str = "score") -> DataFrame:
+    """A4 Counters.normalize (`RelationClassifier.java:42-52`): rescale
+    scores to sum 1 within each group (window sum, no extra shuffle when
+    grouped on a prefix of the current partitioning)."""
+    w = Window.partitionBy(*group_cols)
+    return df.withColumn(
+        score_col, F.round(F.col(score_col) / F.sum(score_col).over(w), 6)
+    )
+
+
 def greedy_consistency(triples: DataFrame) -> DataFrame:
     """W1 — the reference's greedy activation loop
     (`HeuristicSlotfillPostProcessor.java:69-200`) as a grouped

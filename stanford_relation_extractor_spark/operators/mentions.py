@@ -58,10 +58,23 @@ def detect(text: str, matchers: list[tuple[str, re.Pattern[str]]]) -> list[dict[
             b, e = m.start(), m.end()
             if any(b < te and ta < e for ta, te in taken):
                 continue
+            if not mention_sanity_ok(m.group(0), ner):
+                continue
             taken.append((b, e))
             out.append({"begin": b, "end": e, "surface": m.group(0), "ner": ner})
     out.sort(key=lambda d: d["begin"])
     return out
+
+
+def mention_sanity_ok(surface: str, ner: str) -> bool:
+    """P3 mention sanity filters (`stanford-kbp/.../shallowdive/TextOps.java:236-255`):
+    drop absurdly long numbers, the literal token "one", and
+    single-token PERSON names."""
+    if ner == "NUMBER" and (len(surface) > 15 or surface.lower() == "one"):
+        return False
+    if ner == "PERSON" and " " not in surface.strip():
+        return False
+    return True
 
 
 def detect_mentions(transcripts: DataFrame, config: list[tuple[str, str]]) -> DataFrame:

@@ -105,6 +105,49 @@ def feature_count_filter(features: DataFrame, threshold: int = FEATURE_COUNT_THR
     return features.join(F.broadcast(frequent), "feature", "left_semi")
 
 
+def training_labels(
+    pairs: DataFrame, kb: DataFrame, negative_subsample_mod: int = 0
+) -> DataFrame:
+    """A9 — distant-supervision label computation
+    (`stanford-kbp/.../slotfilling/train/KBPTrainer.java:374-527`):
+
+    * positive: the KB holds (entity, rel, slotValue) for the pair;
+    * negative: the KB holds rel for the entity with a DIFFERENT slot
+      value and rel is SINGLE-cardinality (the observed fill contradicts
+      the known one);
+    * unknown otherwise (dropped from training).
+
+    Optional deterministic negative subsampling keeps every Nth negative
+    (`train.negatives.subsampleratio`, `common/Props.java:238` — we use
+    a hash-mod rather than RNG for reproducibility).
+    """
+    from ..ontology import RELATION_BY_NAME
+
+    singles = [n for n, r in RELATION_BY_NAME.items() if r.cardinality == "SINGLE"]
+    pos = (
+        pairs.join(
+            kb.select("entity_name", "relation", "slot_value").distinct(),
+            ["entity_name", "slot_value"],
+        )
+        .withColumn("label", F.lit("positive"))
+    )
+    kb_rel = kb.select(
+        "entity_name", F.col("relation").alias("kb_rel"),
+        F.col("slot_value").alias("kb_slot"),
+    ).filter(F.col("kb_rel").isin(*singles)).distinct()
+    neg = (
+        pairs.join(kb_rel, "entity_name")
+        .filter(F.col("slot_value") != F.col("kb_slot"))
+        .select(*pairs.columns, F.col("kb_rel").alias("relation"))
+        .withColumn("label", F.lit("negative"))
+    )
+    if negative_subsample_mod > 1:
+        neg = neg.filter(
+            F.pmod(F.hash("entity_name", "slot_value", "relation"), F.lit(negative_subsample_mod)) == 0
+        )
+    return pos.unionByName(neg, allowMissingColumns=True)
+
+
 def train_weights(labeled_features: DataFrame) -> dict[str, dict[str, float]]:
     """feature -> relation -> log-odds weight, from (feature, relation)
     counts — a naive-Bayes-flavored stand-in for the reference's LR fit
