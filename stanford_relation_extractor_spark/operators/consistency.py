@@ -79,21 +79,19 @@ def sanity_check(triples: DataFrame) -> DataFrame:
     """SanityCheckFilter (HeuristicSlotfillPostProcessors.java:148-172):
     slot length cap, numeric plausibility bands for ages / employee
     counts, no self-referential fills."""
-    num = F.when(
-        F.col("slot_value").rlike(r"^[0-9]+$"), F.col("slot_value").cast("long")
+    # numeric plausibility bands as pure anchored regexes — a cast-based
+    # form knocks the filter out of whole-stage codegen (interpreted
+    # fallback measured ~10x slower on the pushed-down vote stream)
+    age_ok = F.col("slot_value").rlike(r"^0*(12[0-5]|1[01][0-9]|[1-9][0-9]?)$")
+    emp_ok = F.col("slot_value").rlike(
+        r"^0*(2[5-9]|[3-9][0-9]|[1-9][0-9]{2,4}|[1-4][0-9]{5}|500000)$"
     )
     keep = (
         (F.length("slot_value") <= 80)
         & (F.col("entity_name") != F.col("slot_value"))
+        & F.when(F.col("relation") == "per:age", age_ok).otherwise(F.lit(True))
         & F.when(
-            F.col("relation") == "per:age",
-            ~F.col("slot_value").contains(".")
-            & num.isNotNull() & (num > 0) & (num <= 125),
-        ).otherwise(F.lit(True))
-        & F.when(
-            F.col("relation") == "org:number_of_employees/members",
-            ~F.col("slot_value").contains(".")
-            & num.isNotNull() & (num >= 25) & (num <= 500000),
+            F.col("relation") == "org:number_of_employees/members", emp_ok
         ).otherwise(F.lit(True))
     )
     return triples.filter(keep)
@@ -182,6 +180,78 @@ def respect_incompatibilities(triples: DataFrame, spark: SparkSession) -> DataFr
         conflicts, ["entity_name", "entity_type", "relation", "slot_value"], "left_anti"
     ).drop("_rk", "_rel_rn")
     return out if had_cardinality else out.drop("cardinality")
+
+
+def respect_incompatibilities_window(triples: DataFrame) -> DataFrame:
+    """O6 as a pure window pass (no self-join, no plan branching).
+
+    Per (entity, slotValue) partition, every row sees the higher-ranked
+    cardinality-surviving relations via a windowed collect_list and
+    drops itself when any of them is declared incompatible — the
+    incompatibility matrix rides the plan as a map literal (41 keys).
+    Same semantics as ``respect_incompatibilities``; one window instead
+    of a join, so the whole consistency tail shares one exchange.
+    """
+    from ..ontology import RELATION_BY_NAME
+
+    # rel -> array of relations it may NOT share a slot with
+    incompat_of: dict[str, list[str]] = {}
+    for hi, lo in incompatible_pairs():
+        incompat_of.setdefault(hi, []).append(lo)
+    flat: list = []
+    for rel in sorted(incompat_of):
+        flat.append(F.lit(rel))
+        flat.append(F.array(*[F.lit(x) for x in sorted(incompat_of[rel])]))
+    incompat_map = F.create_map(*flat)
+
+    w_slot = Window.partitionBy("entity_name", "entity_type", "slot_value").orderBy(
+        *tiebreak_order()
+    )
+    w_rel = Window.partitionBy("entity_name", "entity_type", "relation").orderBy(
+        *tiebreak_order()
+    )
+    w_slot_all = w_slot.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+
+    ranked = (
+        triples.withColumn("_rk", F.row_number().over(w_slot))
+        .withColumn("_rel_rn", F.row_number().over(w_rel))
+        .withColumn(
+            "_hi",
+            F.collect_list(
+                F.when(
+                    (F.col("cardinality") == "LIST") | (F.col("_rel_rn") == 1),
+                    F.struct(F.col("_rk").alias("rk"), F.col("relation").alias("rel")),
+                )
+            ).over(w_slot_all),
+        )
+    )
+    conflict = F.exists(
+        F.col("_hi"),
+        lambda x: (x["rk"] < F.col("_rk"))
+        & (x["rel"] != F.col("relation"))
+        & F.coalesce(
+            F.array_contains(incompat_map.getItem(x["rel"]), F.col("relation")),
+            F.lit(False),
+        ),
+    )
+    return ranked.filter(~conflict).drop("_rk", "_rel_rn", "_hi")
+
+
+def mitigate_loc_of_death_window(triples: DataFrame) -> DataFrame:
+    """MitigateLocOfDeath as a window pass (no join/branch): an entity's
+    death-location fills survive only when a per:date_of_death fill is
+    present in the same partition."""
+    w = Window.partitionBy("entity_name", "entity_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    has_dod = F.max(
+        F.when(F.col("relation") == "per:date_of_death", F.lit(1)).otherwise(F.lit(0))
+    ).over(w)
+    return (
+        triples.withColumn("_has_dod", has_dod)
+        .filter((~F.col("relation").isin(*LOC_OF_DEATH)) | (F.col("_has_dod") == 1))
+        .drop("_has_dod")
+    )
 
 
 LOC_OF_DEATH = ("per:city_of_death", "per:country_of_death", "per:stateorprovince_of_death")
@@ -367,27 +437,32 @@ def greedy_consistency(triples: DataFrame) -> DataFrame:
             ascending=[False, False, False, True, True],
             kind="mergesort",
         )
+        # hash-indexed accepted set: O(1) checks per fill instead of the
+        # naive O(|accepted|) scan — entity groups can hold thousands of
+        # fills in bulk mode (celebrity orgs), unlike the reference's
+        # per-query handfuls.
         accepted: list = []
+        filled_single: set[str] = set()
+        rels_by_slot: dict[str, set[str]] = {}
+        emp_member_slots: dict[str, set[str]] = {"per:employee_of": set(), "per:member_of": set()}
         for row in order.itertuples(index=False):
-            ok = True
-            for prev in accepted:
-                if prev.relation == row.relation and cardinality.get(row.relation) == "SINGLE":
-                    ok = False
-                elif (
-                    {prev.relation, row.relation} == {"per:employee_of", "per:member_of"}
-                    and prev.slot_value == row.slot_value
-                ):
-                    ok = False
-                elif (
-                    prev.slot_value == row.slot_value
-                    and prev.relation != row.relation
-                    and not plausibly_cooccurs(prev.relation, row.relation)
-                ):
-                    ok = False
-                if not ok:
-                    break
+            rel, slot = row.relation, row.slot_value
+            ok = not (cardinality.get(rel) == "SINGLE" and rel in filled_single)
+            if ok and rel in emp_member_slots:
+                other = "per:member_of" if rel == "per:employee_of" else "per:employee_of"
+                ok = slot not in emp_member_slots[other]
+            if ok:
+                for prev_rel in rels_by_slot.get(slot, ()):
+                    if prev_rel != rel and not plausibly_cooccurs(prev_rel, rel):
+                        ok = False
+                        break
             if ok:
                 accepted.append(row)
+                if cardinality.get(rel) == "SINGLE":
+                    filled_single.add(rel)
+                if rel in emp_member_slots:
+                    emp_member_slots[rel].add(slot)
+                rels_by_slot.setdefault(slot, set()).add(rel)
         # hold-one-out: loc_of_death requires an accepted date_of_death
         has_dod = any(r.relation == "per:date_of_death" for r in accepted)
         if not has_dod:
@@ -398,6 +473,23 @@ def greedy_consistency(triples: DataFrame) -> DataFrame:
     return triples.groupBy("entity_name", "entity_type").applyInPandas(
         run, schema=triples.schema
     )
+
+
+def apply_consistency_greedy(
+    triples: DataFrame,
+    spark: SparkSession,
+    threshold: float = GLOBAL_SCORE_THRESHOLD,
+) -> DataFrame:
+    """Stage-6 production path: unary filters (narrow, pushed early) +
+    the exact greedy activation pass — ONE shuffle on (entity, type) and
+    one Arrow pass, versus the ~8 window/join stages of the expanded
+    battery. Equivalent output (tests assert set equality); far lower
+    fixed stage cost, which is what the scaling-efficiency budget at
+    small-per-core workloads is most sensitive to."""
+    out = type_check(triples, spark)
+    out = sanity_check(out)
+    out = threshold_filter(out, threshold)
+    return greedy_consistency(out.drop("cardinality"))
 
 
 def apply_consistency(
@@ -418,24 +510,29 @@ def apply_consistency(
     output is already unique on the triple key) skips the O2 pass.
     """
     out = type_check(triples, spark)
-    out = sanity_check(out)
+    if not assume_unique:
+        # full SQL-side sanity battery; the hot pipeline instead gates
+        # sanity at vote time (extractors.slot_sanity_ok — equivalent,
+        # and immune to Catalyst pushing an expensive predicate below
+        # the aggregation onto the full vote stream)
+        out = sanity_check(out)
+    # post-canonicalization self-fill check stays SQL-side (cheap)
+    out = out.filter(F.col("entity_name") != F.col("slot_value"))
     out = threshold_filter(out, threshold)
     out = out.repartition(F.col("entity_name"), F.col("entity_type"))
     if not assume_unique:
         out = dedup_exact(out)
     out = collapse_employee_member(out)
     out = remove_low_weight_competitors(out)
-    # The pairwise (O6) and hold-one-out (loc-of-death) passes branch the
-    # plan 2-3x; materialize the (small) surviving set once so the heavy
-    # extraction+ensemble subtree executes exactly once per action. In
-    # the production path run_pipeline's stage checkpoint plays this role.
-    out = out.localCheckpoint(eager=False)
     # O6 runs BEFORE the cardinality top-1 so that, like the reference's
     # greedy activation loop, a rejected best fill lets the next-best
     # fill of the same SINGLE relation take its place
     # (HeuristicSlotfillPostProcessor.java:69-137; see greedy_consistency
-    # for the exact per-entity form — equivalent on chains <= 2).
-    out = respect_incompatibilities(out, spark)
+    # for the exact per-entity form — equivalent on chains <= 2). The
+    # window forms keep the whole tail join-free and branch-free: every
+    # pass clusters on an (entity_name, entity_type) prefix, so the one
+    # repartition above is the tail's only exchange.
+    out = respect_incompatibilities_window(out)
     out = enforce_cardinality(out)
-    out = mitigate_loc_of_death(out)
+    out = mitigate_loc_of_death_window(out)
     return out.drop("cardinality")

@@ -206,6 +206,27 @@ def mask(sent: str, e: dict[str, Any], s: dict[str, Any]) -> str:
     )
 
 
+_AGE_RX = re.compile(r"^0*(12[0-5]|1[01][0-9]|[1-9][0-9]?)$")
+_EMP_RX = re.compile(r"^0*(2[5-9]|[3-9][0-9]|[1-9][0-9]{2,4}|[1-4][0-9]{5}|500000)$")
+
+
+def slot_sanity_ok(relation: str, slot_value: str, entity_name: str) -> bool:
+    """SanityCheckFilter (HeuristicSlotfillPostProcessors.java:148-172)
+    applied at vote time: every check is a pure function of the triple
+    key, so gating votes is equivalent to gating the final triples
+    (the whole group shares the key), and costs nothing here versus a
+    Catalyst filter that would be pushed below the aggregation and
+    re-evaluate canonicalization expressions over the full vote stream.
+    """
+    if len(slot_value) > 80 or slot_value == entity_name:
+        return False
+    if relation == "per:age" and not _AGE_RX.match(slot_value):
+        return False
+    if relation == "org:number_of_employees/members" and not _EMP_RX.match(slot_value):
+        return False
+    return True
+
+
 def votes_for_sentence(
     sent: str,
     mentions: list[dict[str, Any]],
@@ -234,6 +255,8 @@ def votes_for_sentence(
             )
             # pattern extractor: first matching rule per relation wins
             for rel in rels:
+                if not slot_sanity_ok(rel, slot["surface"], ent["surface"]):
+                    continue
                 for rx in pattern_bank.get(rel, ()):
                     if rx.search(masked):
                         out.append(base + (rel, "pattern", PATTERN_WEIGHT))
@@ -242,13 +265,23 @@ def votes_for_sentence(
             trig_rels: set[str] = set()
             for rx, by_ner in trigger_bank:
                 rel = by_ner.get(slot["ner"])
-                if rel is not None and rel in rels and rel not in trig_rels and rx.search(masked):
+                if (
+                    rel is not None
+                    and rel in rels
+                    and rel not in trig_rels
+                    and slot_sanity_ok(rel, slot["surface"], ent["surface"])
+                    and rx.search(masked)
+                ):
                     trig_rels.add(rel)
                     out.append(base + (rel, "trigger", TRIGGER_WEIGHT))
             # window extractor: normalized type-prior corroboration
+            # (weight normalized over ALL admissible relations, then
+            # sanity-gated per relation — same mass as the reference's
+            # per-group normalize followed by post-hoc filtering)
             w = round(WINDOW_WEIGHT / len(rels), 6)
             for rel in rels:
-                out.append(base + (rel, "window", w))
+                if slot_sanity_ok(rel, slot["surface"], ent["surface"]):
+                    out.append(base + (rel, "window", w))
     return out
 
 

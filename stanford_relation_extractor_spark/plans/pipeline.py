@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.consistency import apply_consistency
+from ..operators.consistency import apply_consistency, apply_consistency_greedy
 from ..operators.ensemble import AGREE_MOST, combine_votes
 from ..operators.extractors import extract_votes, extract_votes_fused
 from ..operators.linking import canonicalize_names

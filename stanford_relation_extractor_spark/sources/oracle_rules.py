@@ -109,6 +109,17 @@ def window_votes(k: int) -> list[tuple[str, str, str, float]]:
     return out
 
 
+def _sanity_pred(rel: str, scol: str) -> str:
+    """SQL twin of extractors.slot_sanity_ok for the oracle's vote rows
+    (numeric plausibility bands; length/self-fill never bind on the
+    synthetic cast)."""
+    if rel == "per:age":
+        return f" AND CAST({scol} AS INT) BETWEEN 1 AND 125"
+    if rel == "org:number_of_employees/members":
+        return f" AND CAST({scol} AS INT) BETWEEN 25 AND 500000"
+    return ""
+
+
 def _vote_select(k: int, ecol: str, scol: str, rel: str, extractor: str, score: float) -> str:
     etype = _NER_OF[ecol] if _NER_OF[ecol] in ("PERSON", "ORGANIZATION") else "PERSON"
     sner = _NER_OF[scol]
@@ -116,7 +127,7 @@ def _vote_select(k: int, ecol: str, scol: str, rel: str, extractor: str, score: 
         f"SELECT conv_id, turn_idx, {ecol} AS entity_name, '{etype}' AS entity_type, "
         f"{scol} AS slot_value, '{sner}' AS slot_ner, '{rel}' AS relation, "
         f"'{extractor}' AS extractor, CAST({score!r} AS DOUBLE) AS score "
-        f"FROM turns_base WHERE k = {k}"
+        f"FROM turns_base WHERE k = {k}{_sanity_pred(rel, scol)}"
     )
 
 
