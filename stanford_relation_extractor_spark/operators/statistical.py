@@ -35,7 +35,10 @@ from pyspark.sql import functions as F
 FEATURE_COUNT_THRESHOLD = 5  # common/Props.java:227
 
 
-def _pair_features(sent: str, eb: int, ee: int, sb: int, se: int, et: str, sn: str) -> list[str]:
+def _pair_features(
+    sent: str, eb: int, ee: int, sb: int, se: int, et: str, sn: str,
+    clusters: dict[str, int] | None = None,
+) -> list[str]:
     """Surface features for one (entity, slot) pair in a sentence."""
     order = "e_before_s" if eb < sb else "s_before_e"
     lo, hi = (ee, sb) if eb < sb else (se, eb)
@@ -49,10 +52,22 @@ def _pair_features(sent: str, eb: int, ee: int, sb: int, se: int, et: str, sn: s
     feats.extend(f"between:{w.lower()}" for w in between[:8])
     if between:
         feats.append(f"between_path:{'_'.join(w.lower() for w in between[:4])}")
+    if clusters:
+        # F13 word-cluster features (FeatureFactory.java:65-76; the
+        # reference's Brown-cluster file egw4-reut.512.clusters) — the
+        # cluster map is a broadcast dict
+        for w in between[:8]:
+            c = clusters.get(w.lower())
+            if c is not None:
+                feats.append(f"between_cluster:{c}")
     return feats
 
 
-def featurize_pairs(votes_or_pairs: DataFrame, sentences: DataFrame) -> DataFrame:
+def featurize_pairs(
+    votes_or_pairs: DataFrame,
+    sentences: DataFrame,
+    clusters: dict[str, int] | None = None,
+) -> DataFrame:
     """(pair key cols, feature) long table from sentence rows + spans."""
     pairs = votes_or_pairs.select(
         "conv_id", "turn_idx", "sent_idx",
@@ -71,6 +86,7 @@ def featurize_pairs(votes_or_pairs: DataFrame, sentences: DataFrame) -> DataFram
                 for f in _pair_features(
                     r.sent_text, r.entity_begin, r.entity_end,
                     r.slot_begin, r.slot_end, r.entity_type, r.slot_ner,
+                    clusters,
                 ):
                     rows.append(
                         (r.conv_id, r.turn_idx, r.sent_idx, r.entity_name,

@@ -122,3 +122,26 @@ def test_feature_count_threshold(spark):
     )
     kept = {r["feature"] for r in feature_count_filter(feats).collect()}
     assert kept == {"common"}
+
+
+def test_word_cluster_features(spark):
+    from stanford_relation_extractor_spark.operators.statistical import featurize_pairs
+
+    sentences = spark.createDataFrame(
+        [("c1", 0, "user", 0, "Alice Person000001 works for Org001 .", [])],
+        "conv_id string, turn_idx int, role string, sent_idx int, sent_text string, "
+        "mentions array<struct<begin:int,end:int,surface:string,ner:string>>",
+    )
+    pairs = spark.createDataFrame(
+        [("c1", 0, 0, "Alice Person000001", "PERSON", 0, 18,
+          "Org001", "ORGANIZATION", 29, 35)],
+        "conv_id string, turn_idx int, sent_idx int, entity_name string, entity_type string, "
+        "entity_begin int, entity_end int, slot_value string, slot_ner string, "
+        "slot_begin int, slot_end int",
+    )
+    feats = {
+        r["feature"]
+        for r in featurize_pairs(pairs, sentences, clusters={"works": 17, "for": 3}).collect()
+    }
+    assert "between_cluster:17" in feats
+    assert "between_cluster:3" in feats
