@@ -157,3 +157,43 @@ def test_provenance_roundtrip(spark):
     )
     back = format_provenance(parsed).collect()[0]["provenance_str"]
     assert back == "conv_000001:5:0:0-18:21-23"
+
+
+def test_geo_consistency(spark):
+    from stanford_relation_extractor_spark.operators.worldknowledge import (
+        check_geo_consistency,
+        validate_city_slots,
+    )
+
+    geo = spark.createDataFrame(
+        [("NATION_2ville", "NATION_2"), ("NATION_3ville", "NATION_3")],
+        "city string, country string",
+    )
+    triples = spark.createDataFrame(
+        [
+            # consistent: city maps to the accepted residence country
+            ("A", "PERSON", "per:cities_of_residence", "NATION_2ville", "CITY", 2, 0.9),
+            ("A", "PERSON", "per:countries_of_residence", "NATION_2", "COUNTRY", 2, 0.9),
+            # contradiction: B lives in NATION_3 but city maps to NATION_2
+            ("B", "PERSON", "per:cities_of_residence", "NATION_2ville", "CITY", 2, 0.9),
+            ("B", "PERSON", "per:countries_of_residence", "NATION_3", "COUNTRY", 2, 0.9),
+            # no country fill -> city kept
+            ("C", "PERSON", "per:cities_of_residence", "NATION_3ville", "CITY", 2, 0.9),
+            # unknown city -> dropped by validity, kept by consistency
+            ("D", "PERSON", "per:cities_of_residence", "Atlantisville", "CITY", 2, 0.9),
+        ],
+        "entity_name string, entity_type string, relation string, slot_value string, "
+        "slot_ner string, n_agree int, score double",
+    )
+    consistent = {
+        (r["entity_name"], r["relation"], r["slot_value"])
+        for r in check_geo_consistency(triples, geo).collect()
+    }
+    assert ("A", "per:cities_of_residence", "NATION_2ville") in consistent
+    assert ("B", "per:cities_of_residence", "NATION_2ville") not in consistent
+    assert ("C", "per:cities_of_residence", "NATION_3ville") in consistent
+    assert ("D", "per:cities_of_residence", "Atlantisville") in consistent
+
+    valid = {r["slot_value"] for r in validate_city_slots(triples, geo).collect()}
+    assert "Atlantisville" not in valid
+    assert "NATION_2ville" in valid
