@@ -49,19 +49,28 @@ def combine_votes(
     """votes -> gated, noisy-or-scored candidate triples with provenance."""
     n_ext = n_extractors if n_extractors is not None else len(extractors)
 
-    vote_struct = F.struct(
-        (-F.col("score")).alias("neg_w"),
-        F.col("conv_id"), F.col("turn_idx"), F.col("sent_idx"),
-        F.col("entity_begin"), F.col("entity_end"),
-        F.col("slot_begin"), F.col("slot_end"),
+    # The best-vote key is ONE sortable string instead of a struct:
+    # min(struct) forces Spark onto SortAggregate, while min(string)
+    # keeps the ensemble a hash aggregation with map-side partial
+    # combine (the pipeline's main shuffle). Field order = (quantized
+    # descending weight, conv_id, turn_idx, sent_idx, spans) — a total
+    # order, so provenance selection stays bit-deterministic.
+    vote_key = F.concat_ws(
+        "|",
+        F.format_string("%07d", ((F.lit(1.0) - F.col("score")) * 1e6).cast("int")),
+        F.col("conv_id"),
+        F.format_string("%010d", F.col("turn_idx")),
+        F.format_string("%06d", F.col("sent_idx")),
+        F.format_string("%06d", F.col("entity_begin")),
+        F.format_string("%06d", F.col("entity_end")),
+        F.format_string("%06d", F.col("slot_begin")),
+        F.format_string("%06d", F.col("slot_end")),
     )
     aggs = []
     for i, ex in enumerate(extractors):
         cond = F.col("extractor") == ex
         aggs.append(F.max(F.when(cond, F.col("score"))).alias(f"_w{i}"))
-        # struct-min = (max weight, then stable position order): the
-        # extractor's best vote, bit-deterministically chosen.
-        aggs.append(F.min(F.when(cond, vote_struct)).alias(f"_p{i}"))
+        aggs.append(F.min(F.when(cond, vote_key)).alias(f"_p{i}"))
     agg = votes.groupBy(*GROUP_KEY).agg(*aggs)
 
     ws = F.array_sort(
@@ -104,6 +113,7 @@ def combine_votes(
     )
     agg = agg.withColumn("_best", best)
 
+    parts = F.split(F.col("_best.best_vote"), r"\|")
     scored = agg.select(
         *GROUP_KEY,
         n_agree.cast("int").alias("n_agree"),
@@ -111,13 +121,13 @@ def combine_votes(
         top2_noisy_or.alias("_score_top2"),
         F.round(first_w, round_digits).alias("_first_w"),
         F.col("_best.extractor").alias("provenance_extractor"),
-        F.col("_best.best_vote.conv_id").alias("conv_id"),
-        F.col("_best.best_vote.turn_idx").alias("turn_idx"),
-        F.col("_best.best_vote.sent_idx").alias("sent_idx"),
-        F.col("_best.best_vote.entity_begin").alias("entity_begin"),
-        F.col("_best.best_vote.entity_end").alias("entity_end"),
-        F.col("_best.best_vote.slot_begin").alias("slot_begin"),
-        F.col("_best.best_vote.slot_end").alias("slot_end"),
+        parts.getItem(1).alias("conv_id"),
+        parts.getItem(2).cast("int").alias("turn_idx"),
+        parts.getItem(3).cast("int").alias("sent_idx"),
+        parts.getItem(4).cast("int").alias("entity_begin"),
+        parts.getItem(5).cast("int").alias("entity_end"),
+        parts.getItem(6).cast("int").alias("slot_begin"),
+        parts.getItem(7).cast("int").alias("slot_end"),
     )
 
     if combination == AGREE_ANY:
