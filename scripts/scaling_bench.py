@@ -46,7 +46,7 @@ if not os.path.exists(amp_path + "/_SUCCESS"):
        .drop("_rep").repartition(128)
        .write.mode("overwrite").parquet(amp_path))
 
-inp = spark.read.parquet(amp_path)
+inp = spark.read.parquet(amp_path).repartition({cpus} * 3)
 n = inp.count()
 times = []
 for _ in range({runs}):
