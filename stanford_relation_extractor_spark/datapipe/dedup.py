@@ -155,14 +155,48 @@ def minhash_near_dups(
     return exact_jaccard(sh, pairs).filter(F.col("jaccard") >= threshold)
 
 
-def prefix_block_jaccard(docs: DataFrame, prefix_tokens: int = 3, threshold: float = 0.5) -> DataFrame:
+def _prefix_key(n: int) -> F.Column:
+    """First-n-token key with NULL-stable concatenation (missing tokens
+    become '' so short docs key deterministically and identically to the
+    DuckDB oracle's coalesce form)."""
+    ws = F.split(normalized_text(), " ")
+    parts: list[F.Column] = []
+    for j in range(n):
+        if j:
+            parts.append(F.lit(" "))
+        parts.append(F.coalesce(F.try_element_at(ws, F.lit(j + 1)), F.lit("")))
+    return F.concat(*parts)
+
+
+def prefix_block_jaccard(
+    docs: DataFrame,
+    prefix_tokens: int = 3,
+    threshold: float = 0.5,
+    max_block: int = 64,
+    extended_tokens: int = 6,
+) -> DataFrame:
     """n-gram Jaccard dedup with cheap prefix blocking (no MinHash):
-    candidate pairs share their first ``prefix_tokens`` tokens."""
-    keyed = docs.select(
+    candidate pairs share their first ``prefix_tokens`` tokens.
+
+    Skew guard: on natural text, boilerplate prefixes ("i think the")
+    put millions of docs in one block, making within-block pair
+    generation quadratic. Blocks with more than ``max_block`` members
+    are re-keyed by a longer ``extended_tokens`` prefix (one extra
+    small groupBy on the block key — never a pass over pairs). Pairs
+    that differ inside the extended prefix are sacrificed: a documented
+    recall trade, mirrored exactly by the oracle.
+    """
+    keyed0 = docs.select(
         "doc_id",
-        F.concat_ws(
-            " ", *[F.try_element_at(F.split(normalized_text(), " "), F.lit(j + 1)) for j in range(prefix_tokens)]
-        ).alias("block"),
+        _prefix_key(prefix_tokens).alias("block"),
+        _prefix_key(extended_tokens).alias("block_ext"),
+    )
+    counts = keyed0.groupBy("block").agg(F.count("*").alias("_n"))
+    keyed = keyed0.join(counts, "block").select(
+        "doc_id",
+        F.when(F.col("_n") > max_block, F.col("block_ext"))
+        .otherwise(F.col("block"))
+        .alias("block"),
     )
     a = keyed.select(F.col("doc_id").alias("doc_a"), "block")
     b = keyed.select(F.col("doc_id").alias("doc_b"), F.col("block").alias("block_b"))

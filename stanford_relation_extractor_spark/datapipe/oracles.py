@@ -72,9 +72,23 @@ SELECT i.doc_a, i.doc_b,
 FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE round(i.n_inter / (sa.n + sb.n - i.n_inter), 6) >= 0.5"""
 
+def _prefix_key_sql(n: int) -> str:
+    """NULL-stable first-n-token key — coalesce form, byte-identical to
+    the engine's dedup._prefix_key."""
+    return " || ' ' || ".join(f"coalesce(ws[{j + 1}], '')" for j in range(n))
+
+
 PREFIX_BLOCK_JACCARD = f"""WITH {NEARDUP_CORPUS},
 toks AS (SELECT doc_id, string_split({NORM}, ' ') AS ws FROM corpus),
-keyed AS (SELECT doc_id, ws[1] || ' ' || ws[2] || ' ' || ws[3] AS block FROM toks),
+keyed0 AS (
+  SELECT doc_id, {_prefix_key_sql(3)} AS block, {_prefix_key_sql(6)} AS block_ext
+  FROM toks
+),
+bcounts AS (SELECT block, count(*) AS n FROM keyed0 GROUP BY block),
+keyed AS (
+  SELECT doc_id, CASE WHEN n > 64 THEN block_ext ELSE block END AS block
+  FROM keyed0 JOIN bcounts USING (block)
+),
 cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM keyed a JOIN keyed b ON a.block = b.block AND a.doc_id < b.doc_id

@@ -24,7 +24,6 @@ ensemble consumes).
 
 from __future__ import annotations
 
-import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -164,21 +163,164 @@ def training_labels(
     return pos.unionByName(neg, allowMissingColumns=True)
 
 
-def train_weights(labeled_features: DataFrame) -> dict[str, dict[str, float]]:
-    """feature -> relation -> log-odds weight, from (feature, relation)
-    counts — a naive-Bayes-flavored stand-in for the reference's LR fit
-    (distributed count aggregation; only the tiny weight table hits the
-    driver for broadcast)."""
-    counts = (
-        labeled_features.groupBy("feature", "relation").agg(F.count("*").alias("n"))
-    ).collect()
-    totals: dict[str, int] = {}
-    for r in counts:
-        totals[r["feature"]] = totals.get(r["feature"], 0) + r["n"]
-    weights: dict[str, dict[str, float]] = {}
-    for r in counts:
-        w = math.log((r["n"] + 0.5) / (totals[r["feature"]] - r["n"] + 0.5))
-        weights.setdefault(r["feature"], {})[r["relation"]] = round(w, 6)
+def train_weights_df(labeled_features: DataFrame, smoothing: float = 0.5) -> DataFrame:
+    """(feature, relation, weight) log-odds table, fully distributed.
+
+    One hash aggregation on (feature, relation) + a window over feature
+    for the per-feature totals — the weight estimation never leaves the
+    cluster (the round-1 driver `.collect()` of the raw count table was
+    a 100 TB scale-killer: the pre-threshold feature vocabulary is
+    unbounded). Apply ``feature_count_filter`` (A8) upstream and
+    ``top_k_weights`` downstream before broadcasting.
+    """
+    from pyspark.sql import Window
+
+    counts = labeled_features.groupBy("feature", "relation").agg(
+        F.count("*").alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy("feature"))
+    return counts.select(
+        "feature",
+        "relation",
+        F.round(
+            F.log((F.col("n") + F.lit(smoothing)) / (total - F.col("n") + F.lit(smoothing))),
+            6,
+        ).alias("weight"),
+    )
+
+
+def top_k_weights(weights: DataFrame, k: int) -> DataFrame:
+    """Keep the k highest-|weight| features per relation — bounds the
+    broadcast model size independently of corpus vocabulary."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("relation").orderBy(
+        F.abs(F.col("weight")).desc(), F.col("feature").asc()
+    )
+    return (
+        weights.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
+
+
+def weights_to_map(weights: DataFrame, max_features_per_relation: int | None = None) -> dict[str, dict[str, float]]:
+    """Collect a (bounded) weight table into the broadcastable
+    feature -> relation -> weight nested dict consumed by
+    ``score_statistical``. The collect is explicitly size-capped — the
+    unbounded form is only safe after A8 thresholding."""
+    if max_features_per_relation is not None:
+        weights = top_k_weights(weights, max_features_per_relation)
+    out: dict[str, dict[str, float]] = {}
+    for r in weights.select("feature", "relation", "weight").collect():
+        out.setdefault(r["feature"], {})[r["relation"]] = r["weight"]
+    return out
+
+
+def train_weights(
+    labeled_features: DataFrame, max_features_per_relation: int | None = None
+) -> dict[str, dict[str, float]]:
+    """feature -> relation -> log-odds weight (naive-Bayes-flavored
+    stand-in for the reference's LR fit,
+    `classify/OneVsAllRelationExtractor.java:77-140`). The aggregation
+    runs distributed (``train_weights_df``); only the bounded weight
+    table is collected for broadcast."""
+    return weights_to_map(
+        train_weights_df(labeled_features), max_features_per_relation
+    )
+
+
+MENTION_KEY = [
+    "conv_id", "turn_idx", "sent_idx", "entity_name", "entity_type",
+    "slot_value", "slot_ner",
+]
+BAG_KEY = ["entity_name", "slot_value"]
+NIL = "NIL"
+
+
+def miml_train(
+    features: DataFrame,
+    bag_labels: DataFrame,
+    epochs: int = 2,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """A7 — MIML-lite bag-level training, the hard-EM shape of
+    `classify/JointBayesRelationExtractor.java:429-560` (z-labels per
+    mention, y-labels per bag) re-expressed as DataFrame rounds:
+
+    * bag = (entity_name, slot_value) group of mentions (`KBPDataset`
+      grouping, SURVEY.md A7); ``bag_labels`` holds the
+      distant-supervision positives (entity_name, slot_value, relation).
+    * init: every mention of a positive bag takes each bag label;
+      mentions of unlabeled bags take NIL (the reference's negative
+      datums).
+    * E-step: re-score every mention against the current weight table
+      (join on feature — never a driver collect), restrict candidates
+      to the bag's labels ∪ {NIL}, take the argmax z per mention —
+      EXCEPT that each (bag, positive label) keeps its best-scoring
+      mention on that label (the at-least-once constraint,
+      `JointBayesRelationExtractor.java:1500-1560` y-aggregation).
+    * M-step: refit the log-odds table from (feature, z).
+
+    Everything is joins/windows/aggregations over DataFrames; the model
+    never leaves the cluster. Returns the final (feature, relation,
+    weight) table.
+    """
+    from pyspark.sql import Window
+
+    mentions = features.select(*MENTION_KEY).distinct()
+    labels = bag_labels.select(*BAG_KEY, "relation").distinct()
+
+    def refit(assign: DataFrame) -> DataFrame:
+        labeled = features.join(assign, MENTION_KEY).select(
+            "feature", F.col("z").alias("relation")
+        )
+        return train_weights_df(labeled, smoothing)
+
+    init = mentions.join(labels, BAG_KEY, "left").select(
+        *MENTION_KEY, F.coalesce(F.col("relation"), F.lit(NIL)).alias("z")
+    )
+    weights = refit(init)
+
+    tie_order = [F.col(c).asc() for c in MENTION_KEY]
+    for _ in range(epochs):
+        scores = (
+            features.join(weights, "feature")
+            .groupBy(*MENTION_KEY, "relation")
+            .agg(F.sum("weight").alias("s"))
+        )
+        cand = (
+            mentions.join(labels, BAG_KEY)
+            .select(*MENTION_KEY, "relation")
+            .unionByName(mentions.select(*MENTION_KEY, F.lit(NIL).alias("relation")))
+        )
+        cscored = cand.join(scores, [*MENTION_KEY, "relation"], "left").fillna(
+            {"s": 0.0}
+        )
+        # at-least-once: the best mention per (bag, positive label) is
+        # pinned to that label
+        w_rel = Window.partitionBy(*BAG_KEY, "relation").orderBy(
+            F.col("s").desc(), *tie_order
+        )
+        forced = (
+            cscored.filter(F.col("relation") != NIL)
+            .withColumn("_rn", F.row_number().over(w_rel))
+            .filter(F.col("_rn") == 1)
+            .select(*MENTION_KEY, F.col("relation").alias("z"))
+        )
+        # argmax z for every other mention (NIL admissible)
+        w_m = Window.partitionBy(*MENTION_KEY).orderBy(
+            F.col("s").desc(), F.col("relation").asc()
+        )
+        argmax = (
+            cscored.withColumn("_rn", F.row_number().over(w_m))
+            .filter(F.col("_rn") == 1)
+            .select(*MENTION_KEY, F.col("relation").alias("z"))
+        )
+        rest = argmax.join(
+            forced.select(*MENTION_KEY).distinct(), MENTION_KEY, "left_anti"
+        )
+        weights = refit(forced.unionByName(rest))
     return weights
 
 

@@ -1,0 +1,224 @@
+"""Round-2 scale-fix coverage (VERDICT.md 'What's wrong' items):
+
+* distributed weight estimation (no driver collect of raw counts),
+* large-star/small-star connected components + reliable checkpointing,
+* frequency-capped prefix blocking (hot-block skew guard),
+* PR-curve / AUC scoring (KBPScore.java:21-68 analog).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_train_weights_df_matches_log_odds(spark):
+    from stanford_relation_extractor_spark.operators.statistical import (
+        top_k_weights,
+        train_weights,
+        train_weights_df,
+    )
+
+    rows = (
+        [("f_a", "per:age")] * 9
+        + [("f_a", "NIL")] * 1
+        + [("f_b", "per:age")] * 2
+        + [("f_b", "NIL")] * 8
+    )
+    labeled = spark.createDataFrame(rows, "feature string, relation string")
+    wdf = {(r["feature"], r["relation"]): r["weight"] for r in train_weights_df(labeled).collect()}
+    assert wdf[("f_a", "per:age")] == round(math.log(9.5 / 1.5), 6)
+    assert wdf[("f_b", "per:age")] == round(math.log(2.5 / 8.5), 6)
+    # nested-dict path agrees with the distributed table
+    wmap = train_weights(labeled)
+    assert wmap["f_a"]["per:age"] == wdf[("f_a", "per:age")]
+    # top-k bound: keep only the strongest feature per relation
+    top = top_k_weights(train_weights_df(labeled), 1)
+    per_rel = {}
+    for r in top.collect():
+        per_rel.setdefault(r["relation"], []).append(r["feature"])
+    assert all(len(v) == 1 for v in per_rel.values())
+
+
+def _brute_components(edges: list[tuple[str, str]]) -> dict[str, str]:
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # resolve to min-of-component
+    comp: dict[str, list[str]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for root, members in comp.items() for n in members}
+
+
+def test_cc_star_matches_label_and_bruteforce(spark):
+    from stanford_relation_extractor_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    # deterministic pseudo-random graph: chains + merges + isolated pairs
+    edges = []
+    for i in range(40):  # one deep chain (diameter 40)
+        edges.append((f"c{i:02d}", f"c{i + 1:02d}"))
+    for i in range(10):  # star
+        edges.append(("hub", f"leaf{i}"))
+    edges += [("x1", "x2"), ("x2", "x3"), ("x3", "x1")]  # cycle
+    expected = _brute_components(edges)
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    star = {
+        r["node"]: r["component"]
+        for r in connected_components(df, algorithm="star", max_iter=15).collect()
+    }
+    assert star == expected
+
+    label = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            df, algorithm="label", max_iter=50, check_every=4
+        ).collect()
+    }
+    assert label == expected
+
+
+def test_cc_star_converges_on_deep_chain_in_log_rounds(spark):
+    """A 64-deep chain needs 64 label-prop rounds but only O(log^2 n)
+    star rounds — max_iter=10 must suffice for the star variant."""
+    from stanford_relation_extractor_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    edges = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(64)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = connected_components(df, algorithm="star", max_iter=10).collect()
+    assert all(r["component"] == "n000" for r in out)
+    assert len(out) == 65
+
+
+def test_cc_reliable_checkpoint(spark, tmp_path):
+    from stanford_relation_extractor_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    edges = [("a", "b"), ("b", "c"), ("d", "e")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            df, algorithm="star", checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert out == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
+
+
+def test_prefix_block_hot_block_capped(spark):
+    """A boilerplate prefix shared by many docs must not stay one block:
+    hot blocks re-key on the longer prefix, cold blocks keep the cheap
+    3-token key (recall inside hot blocks is traded for boundedness)."""
+    from stanford_relation_extractor_spark.datapipe.dedup import prefix_block_jaccard
+
+    hot = [
+        (i, f"i think the topic{i % 3} discussion point alpha beta gamma delta run {i}")
+        for i in range(30)
+    ]
+    # two true near-dups sharing even the extended 6-token prefix
+    hot.append((100, "i think the topic0 discussion point alpha beta gamma delta run 0"))
+    cold = [(200, "completely different text about something here"),
+            (201, "completely different text about something here now")]
+    docs = spark.createDataFrame(hot + cold, "doc_id long, text string")
+
+    out = prefix_block_jaccard(docs, max_block=10, threshold=0.5).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in out}
+    # the planted near-dup pair shares the extended prefix -> still found
+    assert (0, 100) in found
+    # the cold block is untouched by the cap
+    assert (200, 201) in found
+
+    # cap actually bounds candidate generation: with the hot block split
+    # on 6 tokens, no candidate pair crosses topic0/topic1/topic2
+    all_pairs = prefix_block_jaccard(docs, max_block=10, threshold=0.0).collect()
+    for r in all_pairs:
+        if r["doc_a"] < 200:
+            a_topic = r["doc_a"] % 3 if r["doc_a"] < 100 else 0
+            b_topic = r["doc_b"] % 3 if r["doc_b"] < 100 else 0
+            assert a_topic == b_topic
+
+
+def test_pr_auc_hand_fixture(spark):
+    """Hand-computed sweep: AUC = 1/3 + (2/3)(1/3) = 5/9; best F1 at
+    rank 4 (P=3/4, R=2/3)."""
+    from stanford_relation_extractor_spark.operators.evaluate import pr_auc, pr_curve
+
+    gold = spark.createDataFrame(
+        [
+            ("e1", "r", "s1", "c1"),
+            ("e1", "r", "s1b", "c1"),
+            ("e1", "r", "s3", "c2"),
+            ("e2", "r", "s5", "c3"),
+        ],
+        "entity_name string, relation string, slot_value string, equiv_class string",
+    )
+    guesses = spark.createDataFrame(
+        [
+            ("e1", "r", "s1", 0.9),
+            ("e1", "r", "sX", 0.8),
+            ("e1", "r", "s3", 0.7),
+            ("e1", "r", "s1b", 0.6),
+        ],
+        "entity_name string, relation string, slot_value string, score double",
+    )
+    curve = {r["rank"]: r for r in pr_curve(guesses, gold).collect()}
+    assert curve[1]["precision"] == 1.0 and curve[1]["recall"] == round(1 / 3, 6)
+    assert curve[3]["precision"] == round(2 / 3, 6) and curve[3]["recall"] == round(2 / 3, 6)
+    assert curve[4]["precision"] == 0.75 and curve[4]["recall"] == round(2 / 3, 6)
+
+    row = pr_auc(guesses, gold).collect()[0]
+    assert abs(row["auc"] - 5 / 9) < 1e-5
+    assert row["best_threshold"] == 0.6
+    assert abs(row["best_f1"] - (2 * 0.75 * (2 / 3) / (0.75 + 2 / 3))) < 1e-5
+
+
+def test_miml_train_em_flips_ambiguous_mention(spark):
+    """Hand-computed hard-EM fixture (A7): bag (E,S) is labeled rel_R
+    with one good-context and one bad-context mention; a NIL bag shares
+    the bad context. After one E-step the bad-context mention must flip
+    to NIL (argmax tie breaks to NIL asc) while at-least-once pins the
+    good mention to rel_R — so ctx_bad's rel_R weight drops and its NIL
+    weight rises."""
+    from stanford_relation_extractor_spark.operators.statistical import miml_train
+
+    mcols = (
+        "conv_id string, turn_idx int, sent_idx int, entity_name string, "
+        "entity_type string, slot_value string, slot_ner string, feature string"
+    )
+    features = spark.createDataFrame(
+        [
+            ("c1", 0, 0, "E", "PERSON", "S", "NUMBER", "ctx_good"),
+            ("c1", 1, 0, "E", "PERSON", "S", "NUMBER", "ctx_bad"),
+            ("c2", 0, 0, "X", "PERSON", "Y", "NUMBER", "ctx_bad"),
+        ],
+        mcols,
+    )
+    bag_labels = spark.createDataFrame(
+        [("E", "S", "rel_R")], "entity_name string, slot_value string, relation string"
+    )
+    w = {
+        (r["feature"], r["relation"]): r["weight"]
+        for r in miml_train(features, bag_labels, epochs=1).collect()
+    }
+    import math
+
+    # after the flip: ctx_good -> rel_R only; ctx_bad -> NIL twice
+    assert w[("ctx_good", "rel_R")] == round(math.log(1.5 / 0.5), 6)
+    assert w[("ctx_bad", "NIL")] == round(math.log(2.5 / 0.5), 6)
+    assert ("ctx_bad", "rel_R") not in w
