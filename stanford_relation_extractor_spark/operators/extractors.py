@@ -101,6 +101,13 @@ PATTERN_BANK: dict[str, list[str]] = {
     "per:children": [rf"{E} 's (?:son|daughter|child) ,? {S}", rf"{S} , (?:son|daughter|child) of {E}"],
     "per:parents": [rf"{E} , (?:son|daughter|child) of {S}", rf"{S} 's (?:son|daughter|child) ,? {E}"],
     "per:siblings": [rf"{E}[^.]*\b(?:brother|sister|sibling)\b[^.]*{S}"],
+    # per_other_family.rules family (non-immediate kinship)
+    "per:other_family": [
+        rf"{E}[^.]*\b(?:cousin|nephew|niece|uncle|aunt|grandson|granddaughter|"
+        rf"grandfather|grandmother|grandchild|[a-z]+-in-law)\b[^.]*{S}",
+        rf"{S} , (?:the |an? )?(?:cousin|nephew|niece|uncle|aunt|grandson|"
+        rf"granddaughter|grandfather|grandmother) of {E}",
+    ],
     "per:title": [rf"{E} , (?:the|an?) {S}", rf"{S} {E}"],
     "per:origin": [rf"{E}[^.]*\bcitizen of {S}", rf"{E} , (?:an?|the) {S} (?:citizen|national)"],
     "per:religion": [rf"{E}[^.]*\b(?:converted to|practices|practiced) {S}"],
@@ -123,6 +130,11 @@ PATTERN_BANK: dict[str, list[str]] = {
     "org:shareholders": [rf"{S}[^.]*\bshareholder\b[^.]*\bof {E}"],
     "org:alternate_names": [rf"{E} \( (?:a\.?k\.?a\.? |formerly )?{S} \)"],
     "per:alternate_names": [rf"{E} \( (?:a\.?k\.?a\.? |formerly )?{S} \)"],
+    # org_political_religious_affiliation.rules family
+    "org:political/religious_affiliation": [
+        rf"{E}[^.]*\b(?:affiliated|aligned) with\b[^.]*{S}",
+        rf"{E} , an? {S} (?:organization|group|party|movement|charity)",
+    ],
 }
 
 # --- trigger bank: (regex over masked sentence, slot_ner -> relation).
@@ -158,6 +170,15 @@ TRIGGER_BANK: list[tuple[str, dict[str, str]]] = [
     (rf"{E}[^.]*\b(?:works?|worked|employed)\b[^.]*{S}", {"ORGANIZATION": "per:employee_of"}),
     (rf"{E}[^.]*\b(?:attended|studied|graduated)\b[^.]*{S}", {"ORGANIZATION": "per:schools_attended"}),
     (rf"{E}[^.]*\b(?:married|wife|husband|spouse)\b[^.]*{S}", {"PERSON": "per:spouse"}),
+    (
+        rf"{E}[^.]*\b(?:cousin|nephew|niece|uncle|aunt|grand\w+|\w+-in-law)\b[^.]*{S}",
+        {"PERSON": "per:other_family"},
+    ),
+    (
+        rf"{E}[^.]*\b(?:affiliated|aligned) with\b[^.]*{S}",
+        {"IDEOLOGY": "org:political/religious_affiliation",
+         "RELIGION": "org:political/religious_affiliation"},
+    ),
     (rf"{E}[^.]*\b(?:founded|established|started) by[^.]*{S}", {"PERSON": "org:founded_by"}),
     (rf"{E}[^.]*\b(?:founded|established)\b[^.]*{S}", {"DATE": "org:founded"}),
     (
