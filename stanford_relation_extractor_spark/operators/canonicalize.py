@@ -164,6 +164,171 @@ def _cc_star(
     )
 
 
+ENTITY_NERS = ("PERSON", "ORGANIZATION")
+
+
+def vote_surfaces(votes: DataFrame) -> DataFrame:
+    """(surface, ner): distinct PERSON/ORGANIZATION surfaces observed in
+    the vote stream (entity side always; slot side when entity-typed) —
+    the node universe for canonicalization."""
+    from pyspark.sql import functions as F
+
+    ent = votes.select(
+        F.col("entity_name").alias("surface"), F.col("entity_type").alias("ner")
+    )
+    slot = votes.filter(F.col("slot_ner").isin(*ENTITY_NERS)).select(
+        F.col("slot_value").alias("surface"), F.col("slot_ner").alias("ner")
+    )
+    return ent.union(slot).distinct()
+
+
+def build_canon_map(
+    surfaces: DataFrame,
+    alias_dict: DataFrame,
+    nicknames: dict[str, str],
+    suffixes: tuple[str, ...],
+    include_cascade: bool = True,
+    max_iter: int = 4,
+) -> DataFrame:
+    """Stage 4+5 production canonicalization — the reference's flagship
+    entity-merging path (`evaluate/GraphConsistencyPostProcessors.java:53-249`
+    EntityMergingPostProcessor over the EntityGraph), Spark-first:
+
+    1. directed dictionary rewrites (J6 nickname + F5 suffix strip,
+       `entitylinking/EntityLinker.java:46-55,114-161`): surface ->
+       rewritten form, as pure column expressions over DISTINCT surfaces
+       (never the vote stream);
+    2. directed wikidict links (J5 margin rule,
+       `shallowdive/TextOps.java:304-349`): broadcast alias join;
+    3. undirected same-entity cascade edges (J8) from blocked candidate
+       pairs — acronym/overlap/edit-distance merges the dictionaries
+       cannot see;
+    4. connected components (J9) over the union;
+    5. representative = the component's lexicographically-least *pure
+       target* (a rewrite/link destination that is never itself a
+       source — the canonical form the dictionaries point AT); cycles
+       with no pure target fall back to the component minimum.
+
+    Returns the (node, rep) rewrite map, node != rep. The map is
+    O(|distinct surfaces|); broadcast it into the vote rewrite at
+    sandbox scale, shuffle-join with salting beyond broadcast size.
+    """
+    from pyspark.sql import functions as F
+
+    from .linking import nickname_canonical, strip_corporate_suffix, wikidict_link
+
+    surf = surfaces.select("surface", "ner").distinct()
+    dict_dst = strip_corporate_suffix(
+        nickname_canonical("surface", nicknames), suffixes
+    )
+    e_dict = surf.select(
+        F.col("surface").alias("src"), dict_dst.alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    linked = wikidict_link(surf.select("surface").distinct(), alias_dict)
+    e_link = linked.filter(
+        F.col("linked").isNotNull() & (F.col("linked") != F.col("surface"))
+    ).select(F.col("surface").alias("src"), F.col("linked").alias("dst"))
+    directed = e_dict.unionByName(e_link)
+    edges = directed
+    if include_cascade:
+        cascade = same_entity_edges(
+            surf.select(
+                F.col("surface").alias("entity_name"), F.col("ner").alias("entity_type")
+            )
+        )
+        edges = edges.unionByName(cascade)
+    comps = connected_components(
+        edges, max_iter=max_iter, check_every=max_iter, checkpoint_every=max_iter
+    )
+    sources = directed.select(F.col("src").alias("node")).distinct()
+    targets = directed.select(F.col("dst").alias("node")).distinct()
+    pure = targets.join(sources, "node", "left_anti")
+    pure_reps = comps.join(pure, "node").groupBy("component").agg(
+        F.min("node").alias("_rep")
+    )
+    return (
+        comps.join(pure_reps, "component", "left")
+        .select(
+            "node", F.coalesce(F.col("_rep"), F.col("component")).alias("rep")
+        )
+        .filter(F.col("node") != F.col("rep"))
+    )
+
+
+def rewrite_votes(votes: DataFrame, canon_map: DataFrame) -> DataFrame:
+    """Rewrite entity_name and slot_value to their component
+    representatives (two broadcast left joins over the vote stream)."""
+    from pyspark.sql import functions as F
+
+    m_e = F.broadcast(
+        canon_map.select(F.col("node").alias("_ne"), F.col("rep").alias("_re"))
+    )
+    m_s = F.broadcast(
+        canon_map.select(F.col("node").alias("_ns"), F.col("rep").alias("_rs"))
+    )
+    return (
+        votes.join(m_e, votes["entity_name"] == F.col("_ne"), "left")
+        .withColumn("entity_name", F.coalesce(F.col("_re"), F.col("entity_name")))
+        .drop("_ne", "_re")
+        .join(m_s, F.col("slot_value") == F.col("_ns"), "left")
+        .withColumn("slot_value", F.coalesce(F.col("_rs"), F.col("slot_value")))
+        .drop("_ns", "_rs")
+    )
+
+
+ALTERNATE_NAME_SCORE = 0.9
+
+
+def emit_alternate_names(
+    canon_map: DataFrame, surfaces: DataFrame, score: float = ALTERNATE_NAME_SCORE
+) -> DataFrame:
+    """AlternateNamesExtractor (`evaluate/AlternateNamesExtractor.java:1-159`,
+    invoked from `SimpleSlotFiller.java:256-288`; graph form at
+    `GraphConsistencyPostProcessors.java:115-126`): every merged surface
+    becomes a per:/org:alternate_names fill on its representative,
+    gated by Utils.isValidAlternateName (F6) — pairs that differ only
+    by disallowed variants (corporate designators, punctuation) are NOT
+    alternate names.
+
+    The judge runs over the canon map (O(|surfaces|) rows), never the
+    vote stream; validity is the shared Python predicate inside one
+    Arrow batch pass.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from ..functions.text import is_valid_alternate_name
+
+    pairs = canon_map.join(
+        surfaces.select(F.col("surface").alias("node"), "ner").distinct(), "node"
+    )
+
+    def judge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keep = [
+                is_valid_alternate_name(rep, node)
+                for rep, node in zip(pdf["rep"], pdf["node"])
+            ]
+            yield pdf[pd.Series(keep, index=pdf.index)]
+
+    valid = pairs.mapInPandas(judge, schema="node string, rep string, ner string")
+    return valid.select(
+        F.col("rep").alias("entity_name"),
+        F.col("ner").alias("entity_type"),
+        F.when(F.col("ner") == "PERSON", F.lit("per:alternate_names"))
+        .otherwise(F.lit("org:alternate_names"))
+        .alias("relation"),
+        F.col("node").alias("slot_value"),
+        F.col("ner").alias("slot_ner"),
+        F.lit(1).alias("n_agree"),
+        F.lit(score).alias("score"),
+        F.lit("linker").alias("provenance_extractor"),
+    )
+
+
 def same_entity_edges(entities: DataFrame) -> DataFrame:
     """J8 at scale: candidate pairs by blocking, scored by the linker
     cascade — never an O(n^2) cross join.

@@ -488,6 +488,7 @@ def apply_consistency_greedy(
     small-per-core workloads is most sensitive to."""
     out = type_check(triples, spark)
     out = sanity_check(out)
+    out = conform_to_guidelines(out)
     out = threshold_filter(out, threshold)
     return greedy_consistency(out.drop("cardinality"))
 
@@ -518,6 +519,9 @@ def apply_consistency(
         out = sanity_check(out)
     # post-canonicalization self-fill check stays SQL-side (cheap)
     out = out.filter(F.col("entity_name") != F.col("slot_value"))
+    # P8/P9 guideline hygiene — unary predicates, corpus-active via the
+    # k18 (unrelated org:website) and k19 (invalid per:title) templates
+    out = conform_to_guidelines(out)
     out = threshold_filter(out, threshold)
     out = out.repartition(F.col("entity_name"), F.col("entity_type"))
     if not assume_unique:

@@ -37,8 +37,10 @@ SENTENCES_SCHEMA = (
 )
 
 # Sentence boundary: terminator followed by whitespace. Periods inside
-# tokens (URLs like www.org1.com) don't split because no space follows.
-_SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
+# tokens (URLs like www.org1.com) don't split because no space follows;
+# single-capital abbreviations ("A. Person...") don't split either —
+# the CoreNLP-ssplit-style abbreviation guard.
+_SENT_SPLIT = re.compile(r"(?<=[.!?])(?<![A-Z]\.)\s+")
 
 # Default sentence-length cap, tokens (reference drops sentences >150
 # tokens on the provenance path, SimpleSlotFiller.java:550).

@@ -18,7 +18,16 @@ pattern 0.9, trigger 0.8, window 0.4/|admissible relations|.
 from __future__ import annotations
 
 from ..ontology import RELATION_BY_NAME, compatible_relations, plausibly_cooccurs
+from ..operators.consistency import (
+    INVALID_ORG_ALT_NAMES,
+    INVALID_TITLES,
+    INVALID_TOP_EMPLOYEES,
+)
 from .synthetic import canon_sql, oracle_query
+
+
+def _sql_list(values: tuple[str, ...]) -> str:
+    return ", ".join(f"'{v}'" for v in values)
 
 PATTERN_WEIGHT = 0.9
 TRIGGER_WEIGHT = 0.8
@@ -42,6 +51,10 @@ TEMPLATE_MENTIONS: dict[int, list[tuple[str, str]]] = {
     13: [("nickperson", "PERSON"), ("city", "CITY")],
     14: [("org_ltd", "ORGANIZATION"), ("yr", "DATE")],
     15: [("person", "PERSON"), ("org", "ORGANIZATION")],
+    16: [("initialperson", "PERSON"), ("city", "CITY")],
+    17: [("person", "PERSON"), ("n_cars", "NUMBER")],
+    18: [("org", "ORGANIZATION"), ("badsite", "URL")],
+    19: [("person", "PERSON"), ("soctitle", "TITLE")],
 }
 
 _NER_OF = {col: ner for ms in TEMPLATE_MENTIONS.values() for col, ner in ms}
@@ -69,6 +82,14 @@ PATTERN_VOTES: dict[int, list[tuple[str, str, str]]] = {
     13: [("nickperson", "city", "per:cities_of_residence")],
     14: [("org_ltd", "yr", "org:founded")],
     15: [("person", "org", "per:schools_attended")],
+    16: [("initialperson", "city", "per:cities_of_residence")],
+    # k17: adversarial negative — an age-plausible NUMBER in a non-age
+    # context draws NO pattern/trigger vote (window-only, sub-threshold)
+    17: [],
+    # k18/k19 DO draw pattern votes; the consistency battery's
+    # guideline-conformance pass (P8/P9) must kill them downstream
+    18: [("org", "badsite", "org:website")],
+    19: [("person", "soctitle", "per:title")],
 }
 
 TRIGGER_VOTES: dict[int, list[tuple[str, str, str]]] = {
@@ -88,6 +109,10 @@ TRIGGER_VOTES: dict[int, list[tuple[str, str, str]]] = {
     13: [("nickperson", "city", "per:cities_of_residence")],
     14: [("org_ltd", "yr", "org:founded")],
     15: [("person", "org", "per:schools_attended")],
+    16: [("initialperson", "city", "per:cities_of_residence")],
+    17: [],
+    18: [("org", "badsite", "org:website")],
+    19: [("person", "soctitle", "per:title")],
 }
 
 
@@ -266,8 +291,22 @@ def _final_body(threshold: float = 0.5) -> str:
     )
     return _ensemble_body() + f"""
 , base AS (
+  -- P7 threshold + P8/P9 guideline conformance (consistency.py
+  -- conform_to_guidelines): invalid titles / top-employees / org alt
+  -- names, DATE slot shape, org:website token-stem relatedness
   SELECT entity_name, entity_type, relation, slot_value, slot_ner, n_agree, score
   FROM ens WHERE score >= {threshold!r}
+    AND NOT (relation = 'per:title' AND lower(slot_value) IN ({_sql_list(INVALID_TITLES)}))
+    AND NOT (relation = 'org:top_members/employees'
+             AND lower(slot_value) IN ({_sql_list(INVALID_TOP_EMPLOYEES)}))
+    AND NOT (relation = 'org:alternate_names'
+             AND lower(slot_value) IN ({_sql_list(INVALID_ORG_ALT_NAMES)}))
+    AND (slot_ner <> 'DATE'
+         OR regexp_matches(slot_value, '^[0-9]{{4}}([-/][0-9]{{1,2}}([-/][0-9]{{1,2}})?)?$'))
+    AND (relation <> 'org:website'
+         OR (length(lower(regexp_extract(entity_name, '([A-Za-z]+)', 1))) >= 3
+             AND contains(lower(slot_value),
+                          lower(regexp_extract(entity_name, '([A-Za-z]+)', 1)))))
 ), allowed(r_hi, r_lo) AS (
   SELECT * FROM (VALUES {_allowed_pairs_values()}) v(r_hi, r_lo)
 ), ranked AS (

@@ -54,7 +54,7 @@ _NICK_OF = {v: k for k, v in NICKNAMES.items()}
 # corporate suffixes, modeled on EntityLinker.java:23-37
 CORP_SUFFIXES = ("Inc", "Ltd", "Corp")
 
-N_TEMPLATES = 16
+N_TEMPLATES = 20
 
 _first_name_case = (
     "CASE CAST(o.o_custkey % 8 AS INT) "
@@ -80,8 +80,8 @@ turns_base AS (
     CAST(row_number() OVER (PARTITION BY conv_key ORDER BY o_orderkey) - 1 AS INT) AS turn_idx,
     CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
     CASE WHEN o_orderkey % 3 = 2 THEN 'search' END AS tool,
-    ts, k, person, person2, nickperson, org, org_inc, org_ltd, country, city,
-    age, yr, n_emp, title, website,
+    ts, k, person, person2, nickperson, initialperson, org, org_inc, org_ltd,
+    country, city, age, yr, n_emp, n_cars, title, website, badsite, soctitle,
     CASE CAST(k AS INT)
       WHEN 0 THEN person || ' , ' || age || ' , lives in ' || country || ' .'
       WHEN 1 THEN person || ' ( ' || age || ' ) works for ' || org || ' .'
@@ -98,7 +98,15 @@ turns_base AS (
       WHEN 12 THEN person || ' works for ' || org_inc || ' .'
       WHEN 13 THEN nickperson || ' lives in ' || city || ' .'
       WHEN 14 THEN org_ltd || ' was founded in ' || yr || ' .'
-      ELSE person || ' studied at ' || org || ' .'
+      WHEN 15 THEN person || ' studied at ' || org || ' .'
+      -- k16: initial-form surface merged ONLY by wikidict linking (J5/J9)
+      WHEN 16 THEN initialperson || ' lives in ' || city || ' .'
+      -- k17-k19: adversarial distractors whose ground truth is "no final
+      -- triple": age-plausible NUMBER in a non-age context; unrelated
+      -- org:website; guideline-invalid per:title
+      WHEN 17 THEN person || ' bought ' || n_cars || ' cars .'
+      WHEN 18 THEN 'The website of ' || org || ' is ' || badsite || ' .'
+      ELSE person || ' , the ' || soctitle || ' , attended the gala .'
     END AS main_sent,
     CASE WHEN o_orderkey % 2 = 0 THEN ' Thanks for the update .' ELSE '' END AS filler
   FROM (
@@ -110,6 +118,7 @@ turns_base AS (
       {_first_name_case} || ' Person' || lpad(CAST(o.o_custkey AS STRING), 6, '0') AS person,
       {_first_name2_case} || ' Person' || lpad(CAST(o.o_custkey + 500000 AS STRING), 6, '0') AS person2,
       {_nick_case} || ' Person' || lpad(CAST(o.o_custkey AS STRING), 6, '0') AS nickperson,
+      substr({_first_name_case}, 1, 1) || '. Person' || lpad(CAST(o.o_custkey AS STRING), 6, '0') AS initialperson,
       'Org' || lpad(CAST(o.o_orderkey % 10 + 1 AS STRING), 3, '0') AS org,
       'Org' || lpad(CAST(o.o_orderkey % 10 + 1 AS STRING), 3, '0') || ' Inc' AS org_inc,
       'Org' || lpad(CAST(o.o_orderkey % 10 + 1 AS STRING), 3, '0') || ' Ltd' AS org_ltd,
@@ -118,9 +127,12 @@ turns_base AS (
       CAST(o.o_orderkey % 63 + 18 AS STRING) AS age,
       CAST(year(o.o_orderdate) AS STRING) AS yr,
       CAST(o.o_orderkey % 900 + 100 AS STRING) AS n_emp,
+      CAST(o.o_orderkey % 8 + 2 AS STRING) AS n_cars,
       CASE CAST(o.o_orderkey % 4 AS INT) WHEN 0 THEN 'president' WHEN 1 THEN 'chairman'
            WHEN 2 THEN 'minister' ELSE 'executive' END AS title,
-      'www.org' || CAST(o.o_orderkey % 10 + 1 AS STRING) || '.com' AS website
+      'www.org' || CAST(o.o_orderkey % 10 + 1 AS STRING) || '.com' AS website,
+      'www.shopzone' || CAST(o.o_orderkey % 10 + 1 AS STRING) || '.com' AS badsite,
+      'socialite' AS soctitle
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -175,7 +187,7 @@ def country_gazetteer(spark: SparkSession, sf_dir: str) -> list[str]:
 # (top-1 >= 1.5 x top-2, TextOps.java:326-343) rejects the link.
 ALIAS_DICT_CTE = """
 persons AS (
-  SELECT DISTINCT person, person2, nickperson FROM turns_base
+  SELECT DISTINCT person, person2, nickperson, initialperson FROM turns_base
 ),
 alias_dict AS (
   SELECT lower(person) AS alias, person AS canonical, 1.0 AS link_score FROM persons
@@ -183,6 +195,12 @@ alias_dict AS (
   SELECT lower(nickperson) AS alias, person AS canonical, 0.9 AS link_score FROM persons
   UNION ALL
   SELECT lower(nickperson) AS alias, person2 AS canonical, 0.7 AS link_score
+  FROM persons
+  WHERE CAST(substr(person, length(person) - 5, 6) AS INT) % 10 = 0
+  UNION ALL
+  SELECT lower(initialperson) AS alias, person AS canonical, 0.8 AS link_score FROM persons
+  UNION ALL
+  SELECT lower(initialperson) AS alias, person2 AS canonical, 0.7 AS link_score
   FROM persons
   WHERE CAST(substr(person, length(person) - 5, 6) AS INT) % 10 = 0
 )"""
@@ -237,11 +255,11 @@ def detector_config(countries: list[str]) -> list[tuple[str, str]]:
     suffix_alt = "|".join(CORP_SUFFIXES)
     return [
         ("URL", r"\bwww\.[a-z0-9]+\.com\b"),
-        ("PERSON", rf"\b(?:{first_alt}) Person[0-9]{{6}}\b"),
+        ("PERSON", rf"\b(?:(?:{first_alt}) Person[0-9]{{6}}|[A-Z]\. Person[0-9]{{6}})\b"),
         ("ORGANIZATION", rf"\bOrg[0-9]{{3}}(?: (?:{suffix_alt}))?\b"),
         ("CITY", r"\b[A-Z][A-Z0-9_]*ville\b"),
         ("COUNTRY", rf"\b(?:{country_alt})\b"),
         ("DATE", r"\b(?:19|20)[0-9]{2}\b"),
         ("NUMBER", r"\b[0-9]+\b"),
-        ("TITLE", r"\b(?:president|chairman|minister|executive)\b"),
+        ("TITLE", r"\b(?:president|chairman|minister|executive|socialite)\b"),
     ]

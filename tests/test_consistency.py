@@ -164,6 +164,7 @@ def test_greedy_consistency_matches_battery_on_corpus(spark):
     from pyspark.sql import functions as F
 
     from stanford_relation_extractor_spark.operators.consistency import (
+        conform_to_guidelines,
         greedy_consistency,
         type_check,
         threshold_filter,
@@ -172,9 +173,9 @@ def test_greedy_consistency_matches_battery_on_corpus(spark):
     from stanford_relation_extractor_spark.plans.pipeline import build_stages
 
     stages = build_stages(spark, "/root/testdata/sf0.001")
-    pre = threshold_filter(sanity_check(type_check(stages["candidates"], spark))).drop(
-        "cardinality"
-    )
+    pre = threshold_filter(
+        conform_to_guidelines(sanity_check(type_check(stages["candidates"], spark)))
+    ).drop("cardinality")
     greedy = greedy_consistency(pre)
     battery = stages["triples"]
     key = ["entity_name", "entity_type", "relation", "slot_value"]
