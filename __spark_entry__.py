@@ -69,6 +69,19 @@ def _votes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _statistical_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stanford_relation_extractor_spark.plans.pipeline import build_stages
+
+    return (
+        build_stages(spark, sf_dir)["votes"]
+        .filter(F.col("extractor") == "statistical")
+        .select(
+            "conv_id", "turn_idx", "entity_name", "entity_type",
+            "slot_value", "slot_ner", "relation", "extractor", "score",
+        )
+    )
+
+
 def _ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stanford_relation_extractor_spark.plans.pipeline import build_stages
 
@@ -98,6 +111,21 @@ def _wikidict_link(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nickperson").alias("surface")
     ).distinct()
     return wikidict_link(mentions, alias_dict_df(spark, sf_dir)).select("surface", "linked")
+
+
+def _canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stanford_relation_extractor_spark.plans.pipeline import build_stages
+
+    return build_stages(spark, sf_dir)["canon_map"].select("node", "rep")
+
+
+def _alternate_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stanford_relation_extractor_spark.plans.pipeline import build_stages
+
+    return build_stages(spark, sf_dir)["alt_names"].select(
+        "entity_name", "entity_type", "relation", "slot_value", "slot_ner",
+        "n_agree", "score",
+    )
 
 
 def _connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,6 +177,116 @@ def _nil_padded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nil_padded_output(triples, queries_df, spark)
 
 
+def _greedy_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 exact greedy activation loop — same oracle as the battery
+    (set-equal on this corpus; the driver proves it independently)."""
+    from stanford_relation_extractor_spark.operators.consistency import (
+        apply_consistency_greedy,
+    )
+    from stanford_relation_extractor_spark.plans.pipeline import build_stages
+
+    stages = build_stages(spark, sf_dir)
+    cand = stages["candidates"].unionByName(
+        stages["alt_names"], allowMissingColumns=True
+    )
+    return apply_consistency_greedy(cand, spark).select(
+        "entity_name", "entity_type", "relation", "slot_value", "slot_ner",
+        "n_agree", "score",
+    )
+
+
+def _sentence_competition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stanford_relation_extractor_spark.operators.selection import (
+        sentence_competition,
+    )
+    from stanford_relation_extractor_spark.plans.pipeline import build_stages
+
+    return sentence_competition(build_stages(spark, sf_dir)["votes"]).select(
+        "conv_id", "turn_idx", "entity_name", "entity_type", "slot_value",
+        "slot_ner", "relation", "extractor", "score",
+    )
+
+
+def _conform_guidelines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stanford_relation_extractor_spark.operators.consistency import (
+        conform_to_guidelines,
+    )
+    from stanford_relation_extractor_spark.plans.pipeline import build_stages
+
+    fills = (
+        build_stages(spark, sf_dir)["votes"]
+        .filter(F.col("extractor") == "pattern")
+        .select("entity_name", "entity_type", "relation", "slot_value", "slot_ner")
+        .distinct()
+    )
+    return conform_to_guidelines(fills)
+
+
+def _dedup_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stanford_relation_extractor_spark.operators.consistency import (
+        dedup_approximate,
+    )
+    from stanford_relation_extractor_spark.plans.pipeline import build_stages
+
+    fills = (
+        build_stages(spark, sf_dir)["votes"]
+        .filter(
+            (F.col("extractor") == "pattern")
+            & (F.col("relation") == "per:employee_of")
+        )
+        .select("entity_name", "entity_type", "relation", "slot_value", "slot_ner")
+        .distinct()
+        .withColumn("score", F.lit(0.9))
+    )
+    return dedup_approximate(fills)
+
+
+def _geo_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stanford_relation_extractor_spark.operators.worldknowledge import (
+        check_geo_consistency,
+        geo_cities_df,
+        validate_city_slots,
+    )
+    from stanford_relation_extractor_spark.plans.pipeline import build_stages
+
+    resi = (
+        build_stages(spark, sf_dir)["triples"]
+        .filter(
+            F.col("relation").isin(
+                "per:cities_of_residence", "per:countries_of_residence"
+            )
+        )
+        .select(
+            "entity_name", "entity_type", "relation", "slot_value", "slot_ner", "score"
+        )
+    )
+    # deterministic corruption: every 3rd customer's accepted country is
+    # replaced, so the gazetteer contradiction check actually binds
+    corrupt = (F.col("relation") == "per:countries_of_residence") & (
+        F.substring(F.col("entity_name"), -6, 6).cast("int") % 3 == 0
+    )
+    resi = resi.withColumn(
+        "slot_value", F.when(corrupt, F.lit("Atlantis")).otherwise(F.col("slot_value"))
+    )
+    geo = geo_cities_df(spark, sf_dir)
+    return check_geo_consistency(validate_city_slots(resi, geo), geo)
+
+
+def _pr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stanford_relation_extractor_spark.operators.evaluate import pr_score
+    from stanford_relation_extractor_spark.plans.pipeline import build_stages
+
+    stages = build_stages(spark, sf_dir)
+    gold = (
+        stages["linked_votes"]
+        .filter(F.col("extractor") == "pattern")
+        .select("entity_name", "relation", "slot_value")
+        .distinct()
+        .withColumn("equiv_class", F.col("slot_value"))
+    )
+    return pr_score(stages["triples"], gold)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG-construction pipeline on sf0.001."""
     from stanford_relation_extractor_spark.plans.pipeline import final_triples
@@ -163,13 +301,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentences": _sentences,
         "mentions": _mentions,
         "extractor_votes": _votes,
+        "statistical_votes": _statistical_votes,
         "ensemble_noisy_or": _ensemble,
         "final_triples": _final_triples,
         "wikidict_link": _wikidict_link,
+        "canonical_map": _canonical_map,
+        "alternate_names": _alternate_names,
         "connected_components": _connected_components,
         "topk_sentences": _topk_sentences,
         "ner_majority": _ner_majority,
         "nil_padded_output": _nil_padded,
+        "greedy_consistency": _greedy_consistency,
+        "sentence_competition": _sentence_competition,
+        "conform_guidelines": _conform_guidelines,
+        "dedup_approximate_fills": _dedup_approx,
+        "geo_consistency": _geo_consistency,
+        "pr_score": _pr_score,
         **_datapipe_queries(),
     }
 
@@ -194,6 +341,17 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _duckdb_materialize(sql: str) -> str:
+    """Force DuckDB to materialize the hot shared CTEs once instead of
+    re-inlining them per branch (the vote-union oracles reference
+    turns_base ~100x; inlining re-opens the parquet inputs per branch
+    and exhausts file descriptors). DuckDB-only syntax — these strings
+    are never run under Spark."""
+    for cte in ("turns_base", "alias_dict", "vsurf"):
+        sql = sql.replace(f"{cte} AS (", f"{cte} AS MATERIALIZED (", 1)
+    return sql
+
+
 def oracle_sql() -> dict[str, str]:
     from stanford_relation_extractor_spark.sources import oracle_rules as orc
     from stanford_relation_extractor_spark.sources.synthetic import (
@@ -201,7 +359,10 @@ def oracle_sql() -> dict[str, str]:
         oracle_query_linking,
     )
 
-    return {
+    def finish(d: dict[str, str]) -> dict[str, str]:
+        return {k: _duckdb_materialize(v) for k, v in d.items()}
+
+    return finish({
         "transcripts_synth": oracle_query(
             "SELECT conv_id, turn_idx, role, text, tool FROM transcripts"
         ),
@@ -218,11 +379,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "mentions": orc.mentions_sql(),
         "extractor_votes": orc.votes_sql(),
+        "statistical_votes": orc.statistical_votes_sql(),
+        "canonical_map": orc.canon_map_sql(),
+        "alternate_names": orc.alternate_names_sql(),
         "ensemble_noisy_or": orc.ensemble_sql(),
         "final_triples": orc.final_triples_sql(),
         "topk_sentences": orc.topk_sentences_sql(),
         "ner_majority": orc.ner_majority_sql(),
         "nil_padded_output": orc.nil_padded_sql(),
+        "greedy_consistency": orc.final_triples_sql(),
+        "sentence_competition": orc.sentence_competition_sql(),
+        "conform_guidelines": orc.conform_guidelines_sql(),
+        "dedup_approximate_fills": orc.dedup_approx_sql(),
+        "geo_consistency": orc.geo_consistency_sql(),
+        "pr_score": orc.pr_score_sql(),
         "wikidict_link": oracle_query_linking(
             """
 , wmentions AS (SELECT DISTINCT nickperson AS surface FROM turns_base),
@@ -262,4 +432,4 @@ SELECT node, min(label) AS component FROM walk GROUP BY node
         **__import__(
             "stanford_relation_extractor_spark.datapipe.oracles", fromlist=["ALL"]
         ).ALL,
-    }
+    })

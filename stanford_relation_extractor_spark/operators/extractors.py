@@ -55,6 +55,24 @@ PATTERN_WEIGHT = 0.9
 TRIGGER_WEIGHT = 0.8
 WINDOW_WEIGHT = 0.4
 
+# statistical (trained) ensemble member: emit a vote for every
+# type-admissible relation whose softmax probability clears this floor
+# (the reference's classifier emits the full Counter; low-probability
+# mass is dropped by downstream thresholds anyway — pre-filtering here
+# keeps the vote stream narrow)
+STATISTICAL_MIN_PROB = 0.2
+
+
+def _stat_context() -> tuple[dict, list[str], dict]:
+    """(frozen weight table, softmax support, per-executor memo). The
+    model is trained offline by scripts/train_statistical.py (MIML-lite
+    hard-EM over distant-supervision bags) and frozen as data — the
+    inference-time contract the oracle mirrors."""
+    from ..models.frozen_statistical import WEIGHTS
+    from .statistical import softmax_relations
+
+    return (WEIGHTS, softmax_relations(), {})
+
 _TOP_TITLE = (
     r"(?:president|chairman|chairwoman|minister|executive|chief|ceo|director|"
     r"head|founder|officer|leader|governor|senator|mayor)"
@@ -195,6 +213,45 @@ TRIGGER_BANK: list[tuple[str, dict[str, str]]] = [
     (rf"{S}[^.]*\b{_TOP_TITLE}\b[^.]*\bof {E}", {"PERSON": "org:top_members/employees"}),
 ]
 
+PRONOUNS_PERSON = frozenset({"He", "She", "They", "he", "she", "they"})
+PRONOUNS_ORG = frozenset({"It", "it"})
+
+
+class AntecedentState:
+    """J2 conversation-local antecedent carry (the dcoref stand-in of
+    `slotfilling/ir/PostIRAnnotator.java:291-338`): tracks the most
+    recent PERSON/ORGANIZATION surface per conversation. Feed it turns
+    in (conv_id, turn_idx, sent_idx) order — the conversational
+    extraction paths guarantee that via repartition+sortWithinPartitions.
+    Resolved pronouns do NOT update the state (no transitive chains —
+    deterministic, documented divergence from full dcoref)."""
+
+    def __init__(self) -> None:
+        self.conv: str | None = None
+        self.person: str | None = None
+        self.org: str | None = None
+
+    def resolve(self, conv_id: str, mentions: list[dict[str, Any]]) -> list[dict[str, Any]]:
+        if conv_id != self.conv:
+            self.conv, self.person, self.org = conv_id, None, None
+        resolved: list[dict[str, Any]] = []
+        for m in mentions:
+            if m["ner"] == "PRONOUN":
+                if m["surface"] in PRONOUNS_PERSON and self.person:
+                    resolved.append({**m, "surface": self.person, "ner": "PERSON"})
+                elif m["surface"] in PRONOUNS_ORG and self.org:
+                    resolved.append({**m, "surface": self.org, "ner": "ORGANIZATION"})
+                # unresolved pronouns drop (no antecedent yet)
+            else:
+                resolved.append(m)
+        for m in mentions:
+            if m["ner"] == "PERSON":
+                self.person = m["surface"]
+            elif m["ner"] == "ORGANIZATION":
+                self.org = m["surface"]
+        return resolved
+
+
 VOTES_SCHEMA = (
     "conv_id string, turn_idx int, sent_idx int, "
     "entity_name string, entity_type string, entity_begin int, entity_end int, "
@@ -253,6 +310,7 @@ def votes_for_sentence(
     mentions: list[dict[str, Any]],
     pattern_bank: dict[str, list[re.Pattern[str]]],
     trigger_bank: list[tuple[re.Pattern[str], dict[str, str]]],
+    stat: tuple[dict, list[str], dict] | None = None,
 ) -> list[tuple[Any, ...]]:
     """All (entity, slot, relation, extractor, score) votes in one sentence."""
     out: list[tuple[Any, ...]] = []
@@ -303,49 +361,156 @@ def votes_for_sentence(
             for rel in rels:
                 if slot_sanity_ok(rel, slot["surface"], ent["surface"]):
                     out.append(base + (rel, "window", w))
+            # statistical extractor: frozen trained model over masked
+            # surface features (A6 shape, one-vs-all + softmax). The
+            # memo keys on the feature tuple — template-shaped corpora
+            # hit it almost always, so scoring is amortized O(1)/pair.
+            if stat is not None:
+                weights, softmax_support, memo = stat
+                from .statistical import pair_feature_list, softmax_scores
+
+                feats = tuple(pair_feature_list(sent, mentions, ent, slot))
+                probs = memo.get(feats)
+                if probs is None:
+                    full = softmax_scores(list(feats), weights, softmax_support)
+                    probs = {
+                        rel: round(p, 6)
+                        for rel, p in full.items()
+                        if rel != "NIL" and p >= STATISTICAL_MIN_PROB
+                    }
+                    memo[feats] = probs
+                for rel in rels:
+                    p = probs.get(rel)
+                    if p is not None and slot_sanity_ok(rel, slot["surface"], ent["surface"]):
+                        out.append(base + (rel, "statistical", p))
     return out
 
 
-def extract_votes(sentences: DataFrame) -> DataFrame:
-    """sentences (stage 1 output) -> long votes table."""
+def extract_votes(
+    sentences: DataFrame,
+    with_statistical: bool = True,
+    resolve_pronouns: bool = True,
+) -> DataFrame:
+    """sentences (stage 1 output) -> long votes table.
+
+    With ``resolve_pronouns`` the sentences are clustered per
+    conversation (one repartition + in-partition sort on
+    (conv_id, turn_idx, sent_idx)) so the Arrow pass can carry the J2
+    antecedent state across a conversation's turns; without it the pass
+    is shuffle-free and pronoun mentions are dropped.
+    """
+    src = sentences
+    if resolve_pronouns:
+        src = sentences.repartition("conv_id").sortWithinPartitions(
+            "conv_id", "turn_idx", "sent_idx"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pbank = _compiled_pattern_bank()
         tbank = _compiled_trigger_bank()
+        stat = _stat_context() if with_statistical else None
+        state = AntecedentState()
         for pdf in batches:
             rows: list[tuple[Any, ...]] = []
             for conv_id, turn_idx, sent_idx, sent, mentions in zip(
                 pdf["conv_id"], pdf["turn_idx"], pdf["sent_idx"],
                 pdf["sent_text"], pdf["mentions"],
             ):
-                if mentions is None or len(mentions) < 2:
+                if mentions is None:
                     continue
-                for vote in votes_for_sentence(sent, list(mentions), pbank, tbank):
+                mlist = [dict(m) for m in mentions]
+                if resolve_pronouns:
+                    mlist = state.resolve(conv_id, mlist)
+                if len(mlist) < 2:
+                    continue
+                for vote in votes_for_sentence(sent, mlist, pbank, tbank, stat):
                     (en, et, eb, ee, sv, sn, sb, se, rel, ex, sc) = vote
                     rows.append(
                         (conv_id, turn_idx, sent_idx, en, et, eb, ee, sv, sn, sb, se, rel, ex, sc)
                     )
             yield pd.DataFrame(rows, columns=VOTE_COLUMNS)
 
-    return sentences.mapInPandas(run, schema=VOTES_SCHEMA)
+    return src.mapInPandas(run, schema=VOTES_SCHEMA)
 
 
-def extract_votes_fused(transcripts: DataFrame, config: list[tuple[str, str]]) -> DataFrame:
+def extract_votes_fused(
+    transcripts: DataFrame,
+    config: list[tuple[str, str]],
+    with_statistical: bool = True,
+    resolve_pronouns: bool = True,
+) -> DataFrame:
     """transcripts -> votes in ONE Arrow pass (sentence split + mention
-    detection + pairing + all three extractors fused).
+    detection + J2 antecedent resolution + pairing + all four extractors
+    fused).
 
     Functionally identical to ``detect_mentions |> extract_votes`` but
     skips the intermediate Arrow serialization of the mentions column —
-    the hot path for the materialized pipeline and the benchmark.
+    the hot path for the materialized pipeline and the benchmark. The
+    statistical member rides the same pass (no extra stage or scan).
+
+    ``resolve_pronouns`` costs exactly one shuffle of the narrow
+    (conv_id, turn_idx, text) projection — the conversation clustering
+    the antecedent state needs. At 10^12-turn scale a single giant
+    conversation would bottleneck its partition; shard such conversations
+    upstream on (conv_id, turn_idx div B) — antecedents then reset per
+    B-turn block, the per-document propagation scope the reference uses
+    (PostIRAnnotator is per-document too).
     """
     import re as _re
 
     from .mentions import MAX_SENT_TOKENS, detect, split_sentences
 
+    src = transcripts.select("conv_id", "turn_idx", "text")
+    if resolve_pronouns:
+        src = src.repartition("conv_id").sortWithinPartitions("conv_id", "turn_idx")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         matchers = [(ner, _re.compile(rx)) for ner, rx in config]
         pbank = _compiled_pattern_bank()
         tbank = _compiled_trigger_bank()
+        stat = _stat_context() if with_statistical else None
+        state = AntecedentState()
+        for pdf in batches:
+            rows: list[tuple[Any, ...]] = []
+            for conv_id, turn_idx, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
+                for sent_idx, sent in enumerate(split_sentences(text)):
+                    if sent.count(" ") >= MAX_SENT_TOKENS:
+                        continue
+                    mentions = detect(sent, matchers)
+                    if resolve_pronouns:
+                        mentions = state.resolve(conv_id, mentions)
+                    if len(mentions) < 2:
+                        continue
+                    for vote in votes_for_sentence(sent, mentions, pbank, tbank, stat):
+                        (en, et, eb, ee, sv, sn, sb, se, rel, ex, sc) = vote
+                        rows.append(
+                            (conv_id, turn_idx, sent_idx, en, et, eb, ee, sv, sn, sb, se, rel, ex, sc)
+                        )
+            yield pd.DataFrame(rows, columns=VOTE_COLUMNS)
+
+    return src.mapInPandas(run, schema=VOTES_SCHEMA)
+
+
+PAIR_FEATURES_SCHEMA = (
+    "conv_id string, turn_idx int, sent_idx int, entity_name string, "
+    "entity_type string, slot_value string, slot_ner string, feature string"
+)
+
+
+def extract_pair_features(
+    transcripts: DataFrame, config: list[tuple[str, str]]
+) -> DataFrame:
+    """Training-side featurizer: the SAME pair generation and masked
+    feature template the statistical inference path uses, emitted as a
+    long (mention key, feature) table for the distributed trainer
+    (statistical.miml_train / train_weights_df)."""
+    import re as _re
+
+    from .mentions import MAX_SENT_TOKENS, detect, split_sentences
+    from .statistical import pair_feature_list
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        matchers = [(ner, _re.compile(rx)) for ner, rx in config]
         for pdf in batches:
             rows: list[tuple[Any, ...]] = []
             for conv_id, turn_idx, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
@@ -355,13 +520,23 @@ def extract_votes_fused(transcripts: DataFrame, config: list[tuple[str, str]]) -
                     mentions = detect(sent, matchers)
                     if len(mentions) < 2:
                         continue
-                    for vote in votes_for_sentence(sent, mentions, pbank, tbank):
-                        (en, et, eb, ee, sv, sn, sb, se, rel, ex, sc) = vote
-                        rows.append(
-                            (conv_id, turn_idx, sent_idx, en, et, eb, ee, sv, sn, sb, se, rel, ex, sc)
-                        )
-            yield pd.DataFrame(rows, columns=VOTE_COLUMNS)
+                    for ent in mentions:
+                        if ent["ner"] not in ENTITY_TYPES:
+                            continue
+                        for slot in mentions:
+                            if slot is ent or not compatible_relations(ent["ner"], slot["ner"]):
+                                continue
+                            for f in pair_feature_list(sent, mentions, ent, slot):
+                                rows.append(
+                                    (conv_id, turn_idx, sent_idx, ent["surface"],
+                                     ent["ner"], slot["surface"], slot["ner"], f)
+                                )
+            yield pd.DataFrame(
+                rows,
+                columns=["conv_id", "turn_idx", "sent_idx", "entity_name",
+                         "entity_type", "slot_value", "slot_ner", "feature"],
+            )
 
     return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
-        run, schema=VOTES_SCHEMA
+        run, schema=PAIR_FEATURES_SCHEMA
     )

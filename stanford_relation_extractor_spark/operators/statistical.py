@@ -34,14 +34,19 @@ from pyspark.sql import functions as F
 FEATURE_COUNT_THRESHOLD = 5  # common/Props.java:227
 
 
-def _pair_features(
-    sent: str, eb: int, ee: int, sb: int, se: int, et: str, sn: str,
+def features_from_between(
+    order: str,
+    et: str,
+    sn: str,
+    between: list[str],
     clusters: dict[str, int] | None = None,
 ) -> list[str]:
-    """Surface features for one (entity, slot) pair in a sentence."""
-    order = "e_before_s" if eb < sb else "s_before_e"
-    lo, hi = (ee, sb) if eb < sb else (se, eb)
-    between = sent[lo:hi].strip().split() if hi > lo else []
+    """The shared feature template (the surface subset of
+    `FeatureFactory.createDatum`, `process/FeatureFactory.java:171-972`):
+    arg order, NER type pair, surface-distance bin, between-words
+    unigrams, between-path, optional word clusters (F13). Construction
+    ORDER is part of the spec — scoring sums weights in list order, so
+    the oracle's re-derivation must produce the identical sequence."""
     dist_bin = "adj" if len(between) == 0 else ("near" if len(between) <= 3 else "far")
     feats = [
         f"arg_order:{order}",
@@ -60,6 +65,83 @@ def _pair_features(
             if c is not None:
                 feats.append(f"between_cluster:{c}")
     return feats
+
+
+def _pair_features(
+    sent: str, eb: int, ee: int, sb: int, se: int, et: str, sn: str,
+    clusters: dict[str, int] | None = None,
+) -> list[str]:
+    """Surface features for one (entity, slot) pair in a sentence."""
+    order = "e_before_s" if eb < sb else "s_before_e"
+    lo, hi = (ee, sb) if eb < sb else (se, eb)
+    between = sent[lo:hi].strip().split() if hi > lo else []
+    return features_from_between(order, et, sn, between, clusters)
+
+
+def pair_feature_list(
+    sent: str,
+    mentions: list[dict],
+    ent: dict,
+    slot: dict,
+    clusters: dict[str, int] | None = None,
+) -> list[str]:
+    """Masked pair features: every OTHER mention inside the between-span
+    is replaced by its ⟨NER⟩ sentinel — the Spark analog of the
+    reference featurizing over NER-tagged tokens rather than raw
+    surfaces (`FeatureFactory.java` entity-type features). Makes the
+    feature multiset a function of the sentence TEMPLATE, not of the
+    specific names/numbers in it."""
+    eb, sb = ent["begin"], slot["begin"]
+    order = "e_before_s" if eb < sb else "s_before_e"
+    lo, hi = (ent["end"], sb) if eb < sb else (slot["end"], eb)
+    if hi <= lo:
+        return features_from_between(order, ent["ner"], slot["ner"], [], clusters)
+    pieces: list[str] = []
+    pos = lo
+    for m in mentions:
+        if m is ent or m is slot:
+            continue
+        if m["begin"] >= lo and m["end"] <= hi:
+            pieces.append(sent[pos : m["begin"]])
+            pieces.append(f"⟨{m['ner']}⟩")
+            pos = m["end"]
+    pieces.append(sent[pos:hi])
+    between = "".join(pieces).strip().split()
+    return features_from_between(order, ent["ner"], slot["ner"], between, clusters)
+
+
+def softmax_relations() -> list[str]:
+    """The fixed softmax support: all 41 relations in sorted order plus
+    the NIL (no-relation) class — shared by engine scoring, training,
+    and the oracle's expected-score derivation."""
+    from ..ontology import RELATION_BY_NAME
+
+    return sorted(RELATION_BY_NAME) + [NIL]
+
+
+def softmax_scores(
+    feats: list[str],
+    weights: dict[str, dict[str, float]],
+    relations: list[str],
+    gamma: float = 1.0,
+) -> dict[str, float]:
+    """relation -> softmax probability (RelationClassifier.java:109-115,
+    gamma=1), in pure sequential Python float64 arithmetic so the engine
+    and the oracle compute bit-identical values: weights are summed in
+    feature-list order, exp/sum in relation-list order."""
+    import math
+
+    idx = {rel: i for i, rel in enumerate(relations)}
+    s = [0.0] * len(relations)
+    for f in feats:
+        for rel, w in weights.get(f, {}).items():
+            i = idx.get(rel)
+            if i is not None:
+                s[i] += w
+    m = max(s)
+    exps = [math.exp(gamma * (x - m)) for x in s]
+    tot = sum(exps)
+    return {rel: exps[i] / tot for i, rel in enumerate(relations)}
 
 
 def featurize_pairs(

@@ -3,24 +3,59 @@
 Builds the lazy DataFrame DAG; materialization/checkpointing lives in
 sources/sinks.py so each stage boundary can be persisted as an
 idempotent, lineage-stamped table (the reference's Postgres caches, S9).
+
+Stage 4/5 (LINK + CANON) is the reference's flagship entity-merging
+path (`evaluate/GraphConsistencyPostProcessors.java:53-249`): distinct
+vote surfaces -> dictionary rewrites + wikidict margin links +
+same-entity cascade edges -> connected components -> representative
+rewrite of the vote stream, plus alternate-name emission
+(`evaluate/AlternateNamesExtractor.java`). Canonicalization performs
+Spark actions (iterative CC with lineage cuts), so canon-dependent
+stages are built lazily on first access.
 """
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.consistency import apply_consistency, apply_consistency_greedy
+from ..operators.canonicalize import (
+    build_canon_map,
+    emit_alternate_names,
+    rewrite_votes,
+    vote_surfaces,
+)
+from ..operators.consistency import apply_consistency
 from ..operators.ensemble import AGREE_MOST, combine_votes
 from ..operators.extractors import extract_votes, extract_votes_fused
-from ..operators.linking import canonicalize_names
 from ..operators.mentions import detect_mentions
 from ..sources.synthetic import (
     CORP_SUFFIXES,
     NICKNAMES,
+    alias_dict_df,
     country_gazetteer,
     detector_config,
     transcripts_df,
 )
+
+
+class LazyStages(dict):
+    """Stage dict whose missing keys are built (and memoized) on first
+    access — canonicalization runs Spark actions, so building it at
+    graph-construction time would charge every caller for it."""
+
+    def __init__(self, eager: dict, builders: dict[str, Callable[[], DataFrame]]):
+        super().__init__(eager)
+        self._builders = builders
+
+    def __getitem__(self, key):  # noqa: D105
+        if not super().__contains__(key) and key in self._builders:
+            self[key] = self._builders[key]()
+        return super().__getitem__(key)
+
+    def __contains__(self, key):  # noqa: D105
+        return super().__contains__(key) or key in self._builders
 
 
 def build_stages(
@@ -36,21 +71,39 @@ def build_stages(
     # hot path: sentence split + detection + pairing + extractors fused
     # into one Arrow pass (identical semantics to extract_votes(sentences))
     votes = extract_votes_fused(t, config)
-    # stage 4 LINK: canonicalize surfaces (nickname J6 + suffix strip F5)
-    # before grouping, as the reference links before Featurizer grouping.
-    linked_votes = canonicalize_names(
-        votes, ["entity_name", "slot_value"], NICKNAMES, CORP_SUFFIXES
-    )
-    candidates = combine_votes(linked_votes, combination=combination)
-    triples = apply_consistency(candidates, spark, assume_unique=True)
-    return {
-        "transcripts": t,
-        "sentences": sentences,
-        "votes": votes,
-        "linked_votes": linked_votes,
-        "candidates": candidates,
-        "triples": triples,
+
+    stages: LazyStages = LazyStages({}, {})
+    builders: dict[str, Callable[[], DataFrame]] = {
+        # one localCheckpoint materializes the extraction scan ONCE —
+        # the canonicalization actions AND the ensemble-bound rewrite
+        # both reuse the cut vote table instead of re-running the Arrow
+        # extraction (the run_pipeline path persists votes to parquet
+        # for the same reason)
+        "votes_cut": lambda: votes.localCheckpoint(eager=True),
+        "surfaces": lambda: vote_surfaces(stages["votes_cut"]).localCheckpoint(
+            eager=True
+        ),
+        "canon_map": lambda: build_canon_map(
+            stages["surfaces"], alias_dict_df(spark, sf_dir), NICKNAMES, CORP_SUFFIXES
+        ),
+        "linked_votes": lambda: rewrite_votes(stages["votes_cut"], stages["canon_map"]),
+        "candidates": lambda: combine_votes(
+            stages["linked_votes"], combination=combination
+        ),
+        "alt_names": lambda: emit_alternate_names(
+            stages["canon_map"], stages["surfaces"]
+        ),
+        "triples": lambda: apply_consistency(
+            stages["candidates"].unionByName(
+                stages["alt_names"], allowMissingColumns=True
+            ),
+            spark,
+            assume_unique=True,
+        ),
     }
+    stages._builders = builders
+    stages.update({"transcripts": t, "sentences": sentences, "votes": votes})
+    return stages
 
 
 def final_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,7 +128,7 @@ def run_pipeline(
 
     from ..sources.sinks import checkpoint_stage, fingerprint, read_manifest
 
-    cfg = {"sf_dir": sf_dir, "combination": combination, "version": 1}
+    cfg = {"sf_dir": sf_dir, "combination": combination, "version": 2}
 
     fp_sent = fingerprint("sentences", cfg, [])
     sentences = checkpoint_stage(
@@ -85,20 +138,39 @@ def run_pipeline(
         fp_sent,
     )
 
-    fp_votes = fingerprint("linked_votes", cfg, [fp_sent])
+    def fresh_votes() -> DataFrame:
+        return extract_votes(sentences)
+
+    fp_canon = fingerprint("canon_map", cfg, [fp_sent])
+    canon_map = checkpoint_stage(
+        spark,
+        lambda: build_canon_map(
+            vote_surfaces(fresh_votes()).localCheckpoint(eager=True),
+            alias_dict_df(spark, sf_dir),
+            NICKNAMES,
+            CORP_SUFFIXES,
+        ),
+        os.path.join(checkpoint_dir, "canon_map"),
+        fp_canon,
+    )
+
+    fp_votes = fingerprint("linked_votes", cfg, [fp_sent, fp_canon])
     linked_votes = checkpoint_stage(
         spark,
-        lambda: canonicalize_names(
-            extract_votes(sentences), ["entity_name", "slot_value"], NICKNAMES, CORP_SUFFIXES
-        ),
+        lambda: rewrite_votes(fresh_votes(), canon_map),
         os.path.join(checkpoint_dir, "linked_votes"),
         fp_votes,
     )
 
-    fp_cand = fingerprint("candidates", cfg, [fp_votes])
+    fp_cand = fingerprint("candidates", cfg, [fp_votes, fp_canon])
     candidates = checkpoint_stage(
         spark,
-        lambda: combine_votes(linked_votes, combination=combination),
+        lambda: combine_votes(linked_votes, combination=combination).unionByName(
+            emit_alternate_names(
+                canon_map, vote_surfaces(fresh_votes()).localCheckpoint(eager=True)
+            ),
+            allowMissingColumns=True,
+        ),
         os.path.join(checkpoint_dir, "candidates"),
         fp_cand,
     )
@@ -114,6 +186,6 @@ def run_pipeline(
 
     manifests = {
         name: read_manifest(os.path.join(checkpoint_dir, name))
-        for name in ("sentences", "linked_votes", "candidates", "triples")
+        for name in ("sentences", "canon_map", "linked_votes", "candidates", "triples")
     }
     return {"triples": triples, "manifests": manifests}

@@ -29,6 +29,34 @@ from .synthetic import canon_sql, oracle_query
 def _sql_list(values: tuple[str, ...]) -> str:
     return ", ".join(f"'{v}'" for v in values)
 
+
+def conform_pred_sql() -> str:
+    """P8/P9 ConformToGuidelines as one SQL predicate — the oracle twin
+    of consistency.conform_to_guidelines, shared by the final-triples
+    chain and the standalone conform driver query."""
+    return f"""NOT (relation = 'per:title' AND lower(slot_value) IN ({_sql_list(INVALID_TITLES)}))
+    AND NOT (relation = 'org:top_members/employees'
+             AND lower(slot_value) IN ({_sql_list(INVALID_TOP_EMPLOYEES)}))
+    AND NOT (relation = 'org:alternate_names'
+             AND lower(slot_value) IN ({_sql_list(INVALID_ORG_ALT_NAMES)}))
+    AND (slot_ner <> 'DATE'
+         OR regexp_matches(slot_value, '^[0-9]{{4}}([-/][0-9]{{1,2}}([-/][0-9]{{1,2}})?)?$'))
+    AND (relation <> 'org:website'
+         OR (length(lower(regexp_extract(entity_name, '([A-Za-z]+)', 1))) >= 3
+             AND contains(lower(slot_value),
+                          lower(regexp_extract(entity_name, '([A-Za-z]+)', 1)))))"""
+
+
+def duckdb_materialize(sql: str) -> str:
+    """Force DuckDB to materialize hot shared CTEs once instead of
+    re-inlining them per branch (the vote-union oracles reference
+    turns_base ~100x; inlining re-opens the parquet inputs per branch
+    and exhausts file descriptors). DuckDB-only syntax — never apply to
+    SQL that also runs under Spark (transcripts_df & co)."""
+    for cte in ("turns_base", "alias_dict", "vsurf"):
+        sql = sql.replace(f"{cte} AS (", f"{cte} AS MATERIALIZED (", 1)
+    return sql
+
 PATTERN_WEIGHT = 0.9
 TRIGGER_WEIGHT = 0.8
 WINDOW_WEIGHT = 0.4
@@ -55,10 +83,46 @@ TEMPLATE_MENTIONS: dict[int, list[tuple[str, str]]] = {
     17: [("person", "PERSON"), ("n_cars", "NUMBER")],
     18: [("org", "ORGANIZATION"), ("badsite", "URL")],
     19: [("person", "PERSON"), ("soctitle", "TITLE")],
+    20: [("pron", "PRONOUN"), ("city", "CITY")],
 }
 
 _NER_OF = {col: ner for ms in TEMPLATE_MENTIONS.values() for col, ner in ms}
 _NER_OF["person2"] = "PERSON"
+# the J2-resolved pronoun: a pseudo-column of tb_ante (see TB_ANTE_CTE)
+_NER_OF["antecedent"] = "PERSON"
+
+
+def _voter_mentions(k: int) -> list[tuple[str, str]]:
+    """Vote-time mention list: PRONOUN mentions participate in pairing
+    as their resolved antecedent (J2) — the engine's AntecedentState
+    replaces the surface before pair generation."""
+    return [
+        ("antecedent", "PERSON") if ner == "PRONOUN" else (col, ner)
+        for col, ner in TEMPLATE_MENTIONS[k]
+    ]
+
+
+# The oracle's independent antecedent derivation: per turn, the LAST
+# PERSON surface its template plants (by in-sentence position); a k20
+# turn adopts the most recent prior non-null value in the conversation
+# (strictly-preceding window, matching extractors.AntecedentState).
+# max-over-sortable-string stands in for last_value IGNORE NULLS, which
+# Spark and DuckDB spell differently.
+TB_ANTE_CTE = """
+, tb_ante AS (
+  SELECT *, substr(max(CASE WHEN last_person IS NOT NULL THEN
+             lpad(CAST(turn_idx AS STRING), 10, '0') || '|' || last_person END)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 12) AS antecedent
+  FROM (
+    SELECT *, CASE CAST(k AS INT)
+        WHEN 4 THEN NULL WHEN 8 THEN NULL WHEN 10 THEN NULL WHEN 11 THEN NULL
+        WHEN 14 THEN NULL WHEN 18 THEN NULL WHEN 20 THEN NULL
+        WHEN 6 THEN person2 WHEN 13 THEN nickperson WHEN 16 THEN initialperson
+        ELSE person END AS last_person
+    FROM turns_base
+  ) t
+)"""
 
 # (entity_col, slot_col, relation) votes per template
 PATTERN_VOTES: dict[int, list[tuple[str, str, str]]] = {
@@ -90,6 +154,8 @@ PATTERN_VOTES: dict[int, list[tuple[str, str, str]]] = {
     # guideline-conformance pass (P8/P9) must kill them downstream
     18: [("org", "badsite", "org:website")],
     19: [("person", "soctitle", "per:title")],
+    # k20: pronoun subject — the vote's entity is the J2 antecedent
+    20: [("antecedent", "city", "per:cities_of_residence")],
 }
 
 TRIGGER_VOTES: dict[int, list[tuple[str, str, str]]] = {
@@ -113,13 +179,96 @@ TRIGGER_VOTES: dict[int, list[tuple[str, str, str]]] = {
     17: [],
     18: [("org", "badsite", "org:website")],
     19: [("person", "soctitle", "per:title")],
+    20: [("antecedent", "city", "per:cities_of_residence")],
 }
+
+
+def _c(name: str) -> tuple[str, str]:
+    return ("COL", name)
+
+
+# Token shape of each template's main sentence; ("COL", name) marks a
+# planted mention column. MUST track synthetic.py's CASE branches
+# verbatim — this is the oracle's independent source for the masked
+# statistical features (statistical.pair_feature_list replaces other
+# mentions by their ⟨NER⟩ sentinels, so the feature multiset is a pure
+# function of this shape).
+TEMPLATE_SHAPE: dict[int, list] = {
+    0: [_c("person"), ",", _c("age"), ",", "lives", "in", _c("country"), "."],
+    1: [_c("person"), "(", _c("age"), ")", "works", "for", _c("org"), "."],
+    2: [_c("person"), "is", _c("age"), "years", "old", "."],
+    3: [_c("person"), "was", "born", "in", _c("country"), "in", _c("yr"), "."],
+    4: [_c("org"), "is", "headquartered", "in", _c("city"), "."],
+    5: [_c("org"), "was", "founded", "by", _c("person"), "in", _c("yr"), "."],
+    6: [_c("person"), "is", "married", "to", _c("person2"), "."],
+    7: [_c("person"), "died", "in", _c("country"), "in", _c("yr"), "."],
+    8: [_c("org"), "has", _c("n_emp"), "employees", "."],
+    9: [_c("person"), ",", "the", _c("title"), "of", _c("org"), ",", "spoke", "."],
+    10: [],
+    11: ["The", "website", "of", _c("org"), "is", _c("website"), "."],
+    12: [_c("person"), "works", "for", _c("org_inc"), "."],
+    13: [_c("nickperson"), "lives", "in", _c("city"), "."],
+    14: [_c("org_ltd"), "was", "founded", "in", _c("yr"), "."],
+    15: [_c("person"), "studied", "at", _c("org"), "."],
+    16: [_c("initialperson"), "lives", "in", _c("city"), "."],
+    17: [_c("person"), "bought", _c("n_cars"), "cars", "."],
+    18: ["The", "website", "of", _c("org"), "is", _c("badsite"), "."],
+    19: [_c("person"), ",", "the", _c("soctitle"), ",", "attended", "the", "gala", "."],
+    # the pronoun token occupies the entity position; features see the
+    # resolved antecedent's TYPE only, never its surface
+    20: [_c("antecedent"), "lives", "in", _c("city"), "."],
+}
+
+
+def statistical_votes(k: int) -> list[tuple[str, str, str, float]]:
+    """(entity_col, slot_col, relation, prob) — expected statistical
+    votes for template k, re-derived from the token shape + the frozen
+    weight table. Feature construction and softmax arithmetic are the
+    shared spec functions (statistical.features_from_between /
+    softmax_scores) over oracle-owned inputs — the engine's featurizer
+    runs over real sentences; any divergence hash-mismatches."""
+    from ..models.frozen_statistical import WEIGHTS
+    from ..operators.extractors import STATISTICAL_MIN_PROB
+    from ..operators.statistical import (
+        features_from_between,
+        softmax_relations,
+        softmax_scores,
+    )
+
+    shape = TEMPLATE_SHAPE[k]
+    cols = [(i, t[1]) for i, t in enumerate(shape) if isinstance(t, tuple)]
+    support = softmax_relations()
+    out: list[tuple[str, str, str, float]] = []
+    for ei, ecol in cols:
+        ener = _NER_OF[ecol]
+        if ener not in ("PERSON", "ORGANIZATION"):
+            continue
+        for si, scol in cols:
+            if si == ei:
+                continue
+            sner = _NER_OF[scol]
+            rels = compatible_relations(ener, sner)
+            if not rels:
+                continue
+            order = "e_before_s" if ei < si else "s_before_e"
+            lo, hi = min(ei, si) + 1, max(ei, si)
+            between = [
+                f"⟨{_NER_OF[t[1]]}⟩" if isinstance(t, tuple) else t
+                for t in shape[lo:hi]
+            ]
+            feats = features_from_between(order, ener, sner, between)
+            probs = softmax_scores(feats, WEIGHTS, support)
+            for rel in rels:
+                p = probs[rel]
+                if p >= STATISTICAL_MIN_PROB:
+                    out.append((ecol, scol, rel, round(p, 6)))
+    return out
 
 
 def window_votes(k: int) -> list[tuple[str, str, str, float]]:
     """(entity_col, slot_col, relation, weight) for the window extractor."""
     out = []
-    ms = TEMPLATE_MENTIONS[k]
+    ms = _voter_mentions(k)
     for ecol, ener in ms:
         if ener not in ("PERSON", "ORGANIZATION"):
             continue
@@ -148,25 +297,54 @@ def _sanity_pred(rel: str, scol: str) -> str:
 def _vote_select(k: int, ecol: str, scol: str, rel: str, extractor: str, score: float) -> str:
     etype = _NER_OF[ecol] if _NER_OF[ecol] in ("PERSON", "ORGANIZATION") else "PERSON"
     sner = _NER_OF[scol]
+    table, extra = "turns_base", ""
+    if "antecedent" in (ecol, scol):  # J2-resolved votes live on tb_ante
+        table, extra = "tb_ante", " AND antecedent IS NOT NULL"
     return (
         f"SELECT conv_id, turn_idx, {ecol} AS entity_name, '{etype}' AS entity_type, "
         f"{scol} AS slot_value, '{sner}' AS slot_ner, '{rel}' AS relation, "
         f"'{extractor}' AS extractor, CAST({score!r} AS DOUBLE) AS score "
-        f"FROM turns_base WHERE k = {k}{_sanity_pred(rel, scol)}"
+        f"FROM {table} WHERE k = {k}{extra}{_sanity_pred(rel, scol)}"
     )
 
 
-def votes_union_sql() -> str:
+def votes_union_sql(extractors: tuple[str, ...] | None = None) -> str:
     """All expected extractor votes as one UNION ALL query body."""
     branches: list[str] = []
+    want = set(extractors) if extractors is not None else None
+
+    def keep(name: str) -> bool:
+        return want is None or name in want
+
     for k in sorted(TEMPLATE_MENTIONS):
-        for ecol, scol, rel in PATTERN_VOTES[k]:
-            branches.append(_vote_select(k, ecol, scol, rel, "pattern", PATTERN_WEIGHT))
-        for ecol, scol, rel in TRIGGER_VOTES[k]:
-            branches.append(_vote_select(k, ecol, scol, rel, "trigger", TRIGGER_WEIGHT))
-        for ecol, scol, rel, w in window_votes(k):
-            branches.append(_vote_select(k, ecol, scol, rel, "window", w))
+        if keep("pattern"):
+            for ecol, scol, rel in PATTERN_VOTES[k]:
+                branches.append(_vote_select(k, ecol, scol, rel, "pattern", PATTERN_WEIGHT))
+        if keep("trigger"):
+            for ecol, scol, rel in TRIGGER_VOTES[k]:
+                branches.append(_vote_select(k, ecol, scol, rel, "trigger", TRIGGER_WEIGHT))
+        if keep("window"):
+            for ecol, scol, rel, w in window_votes(k):
+                branches.append(_vote_select(k, ecol, scol, rel, "window", w))
+        if keep("statistical"):
+            for ecol, scol, rel, p in statistical_votes(k):
+                branches.append(_vote_select(k, ecol, scol, rel, "statistical", p))
+    if not branches:  # e.g. untrained placeholder model -> zero votes
+        branches.append(
+            "SELECT conv_id, turn_idx, CAST(NULL AS STRING) AS entity_name, "
+            "CAST(NULL AS STRING) AS entity_type, CAST(NULL AS STRING) AS slot_value, "
+            "CAST(NULL AS STRING) AS slot_ner, CAST(NULL AS STRING) AS relation, "
+            "CAST(NULL AS STRING) AS extractor, CAST(NULL AS DOUBLE) AS score "
+            "FROM turns_base WHERE false"
+        )
     return "\nUNION ALL\n".join(branches)
+
+
+def statistical_votes_sql() -> str:
+    """Driver oracle for the statistical member alone."""
+    return duckdb_materialize(
+        oracle_query(TB_ANTE_CTE + "\n" + votes_union_sql(extractors=("statistical",)))
+    )
 
 
 def mentions_sql() -> str:
@@ -177,11 +355,11 @@ def mentions_sql() -> str:
         for k in sorted(TEMPLATE_MENTIONS)
         for col, ner in TEMPLATE_MENTIONS[k]
     ]
-    return oracle_query("\nUNION ALL\n".join(branches))
+    return duckdb_materialize(oracle_query("\nUNION ALL\n".join(branches)))
 
 
 def votes_sql() -> str:
-    return oracle_query(votes_union_sql())
+    return duckdb_materialize(oracle_query(TB_ANTE_CTE + "\n" + votes_union_sql()))
 
 
 def topk_sentences_sql(k: int = 5) -> str:
@@ -208,7 +386,7 @@ def topk_sentences_sql(k: int = 5) -> str:
 )
 SELECT entity_name, conv_id, turn_idx, sent_idx, sent_text FROM budget WHERE r <= {k}
 """
-    return oracle_query(body)
+    return duckdb_materialize(oracle_query(body))
 
 
 def ner_majority_sql() -> str:
@@ -230,39 +408,183 @@ def ner_majority_sql() -> str:
 )
 SELECT surface, ner AS majority_ner, CAST(n AS BIGINT) AS votes FROM ranked WHERE r = 1
 """
-    return oracle_query(body)
+    return duckdb_materialize(oracle_query(body))
+
+
+def _vote_surface_cols(k: int) -> list[tuple[str, str]]:
+    """(col, ner) of the PERSON/ORG surfaces template k contributes to
+    the vote stream (entity side always; slot side when entity-typed) —
+    the oracle's independent derivation of canonicalize.vote_surfaces."""
+    cols: dict[str, str] = {}
+    seen = list(PATTERN_VOTES[k]) + list(TRIGGER_VOTES[k]) + [
+        (e, s, r) for (e, s, r, _w) in window_votes(k)
+    ]
+    for ecol, scol, _rel in seen:
+        cols[ecol] = _NER_OF[ecol]
+        if _NER_OF[scol] in ("PERSON", "ORGANIZATION"):
+            cols[scol] = _NER_OF[scol]
+    return sorted(cols.items())
+
+
+def _canon_ctes() -> str:
+    """SQL twin of canonicalize.build_canon_map: vote surfaces ->
+    dictionary + wikidict-margin edges -> recursive connected components
+    -> pure-target representative map.
+
+    The engine additionally feeds same-entity cascade edges (J8) into
+    CC; on this corpus the cascade only reproduces the corporate-suffix
+    dictionary edges (equal normalized forms within a block), so the
+    oracle deliberately omits it — any cascade edge beyond that is an
+    engine bug this oracle would catch as a hash mismatch.
+    """
+    branches = [
+        (
+            f"SELECT DISTINCT antecedent AS surface FROM tb_ante "
+            f"WHERE k = {k} AND antecedent IS NOT NULL"
+            if col == "antecedent"
+            else f"SELECT DISTINCT {col} AS surface FROM turns_base WHERE k = {k}"
+        )
+        for k in sorted(TEMPLATE_MENTIONS)
+        for col, _ner in _vote_surface_cols(k)
+    ]
+    # NB: inside a WITH RECURSIVE list, DuckDB does not globally dedup a
+    # bare UNION chain in a non-recursive CTE — always spell dedup as
+    # SELECT DISTINCT over UNION ALL here.
+    return TB_ANTE_CTE + f"""
+, vsurf AS (
+  SELECT DISTINCT surface FROM (
+{" UNION ALL ".join(branches)}
+  ) u
+), dict_edges AS (
+  SELECT surface AS src, {canon_sql("surface")} AS dst FROM vsurf
+  WHERE {canon_sql("surface")} <> surface
+), link_cand AS (
+  SELECT v.surface, a.canonical, a.link_score,
+         row_number() OVER (PARTITION BY v.surface
+                            ORDER BY a.link_score DESC, a.canonical ASC) AS rk
+  FROM vsurf v JOIN alias_dict a ON lower(v.surface) = a.alias
+), link_agg AS (
+  SELECT surface,
+         max(CASE WHEN rk = 1 THEN link_score END) AS top1,
+         max(CASE WHEN rk = 2 THEN link_score END) AS top2,
+         max(CASE WHEN rk = 1 THEN canonical END) AS best
+  FROM link_cand GROUP BY surface
+), link_edges AS (
+  SELECT surface AS src, best AS dst FROM link_agg
+  WHERE top1 >= 0.4 AND (top2 IS NULL OR top1 >= 1.5 * top2) AND best <> surface
+), canon_edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM dict_edges UNION ALL SELECT src, dst FROM link_edges
+  ) u
+), canon_sym AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM canon_edges
+    UNION ALL SELECT dst, src FROM canon_edges
+  ) u
+), canon_nodes AS (
+  SELECT DISTINCT a AS node FROM canon_sym
+), canon_walk(node, label) AS (
+  SELECT node, node FROM canon_nodes
+  UNION
+  SELECT s.b, w.label FROM canon_walk w JOIN canon_sym s ON w.node = s.a
+), canon_comp AS (
+  SELECT node, min(label) AS component FROM canon_walk GROUP BY node
+), canon_pure AS (
+  SELECT DISTINCT dst AS node FROM canon_edges
+  WHERE dst NOT IN (SELECT src FROM canon_edges)
+), canon_rep AS (
+  SELECT c.component, min(c.node) AS rep
+  FROM canon_comp c JOIN canon_pure p ON c.node = p.node
+  GROUP BY c.component
+), canon_map AS (
+  SELECT c.node, coalesce(r.rep, c.component) AS rep
+  FROM canon_comp c LEFT JOIN canon_rep r ON c.component = r.component
+  WHERE coalesce(r.rep, c.component) <> c.node
+)"""
 
 
 _ENSEMBLE_BODY = """
 , votes AS (
 {votes}
+), votes_c AS (
+  -- stage 4/5 LINK+CANON applied before grouping: component
+  -- representative rewrite of both name columns (J5/J6/F5 -> J9)
+  SELECT coalesce(me.rep, v.entity_name) AS entity_name, v.entity_type, v.relation,
+         coalesce(ms.rep, v.slot_value) AS slot_value, v.slot_ner, v.extractor, v.score
+  FROM votes v
+  LEFT JOIN canon_map me ON v.entity_name = me.node
+  LEFT JOIN canon_map ms ON v.slot_value = ms.node
 ), per_ex AS (
-  -- stage 4 LINK applied before grouping: nickname canonicalization
-  -- (J6) + corporate-suffix strip (F5) on both name columns
-  SELECT {canon_entity} AS entity_name, entity_type, relation,
-         {canon_slot} AS slot_value, slot_ner, extractor, max(score) AS w
-  FROM votes
+  SELECT entity_name, entity_type, relation, slot_value, slot_ner, extractor,
+         max(score) AS w
+  FROM votes_c
   GROUP BY 1, 2, 3, 4, 5, 6
 ), ens AS (
+  -- AGREE_MOST gate for the 4-member ensemble: n_agree >= 4/2 (Java
+  -- integer division, EnsembleRelationExtractor.java:303-332)
   SELECT entity_name, entity_type, relation, slot_value, slot_ner,
          CAST(count(*) AS INT) AS n_agree,
          round(1 - exp(sum(ln(1 - w))), 6) AS score
   FROM per_ex
   GROUP BY entity_name, entity_type, relation, slot_value, slot_ner
+  HAVING count(*) >= 2
 )
 """
 
 
 def _ensemble_body() -> str:
-    return _ENSEMBLE_BODY.format(
-        votes=votes_union_sql(),
-        canon_entity=canon_sql("entity_name"),
-        canon_slot=canon_sql("slot_value"),
-    )
+    return _canon_ctes() + _ENSEMBLE_BODY.format(votes=votes_union_sql())
 
 
 def ensemble_sql() -> str:
-    return oracle_query(_ensemble_body() + "SELECT * FROM ens")
+    from .synthetic import oracle_query_linking
+
+    return duckdb_materialize(
+        oracle_query_linking(_ensemble_body() + "SELECT * FROM ens", recursive=True)
+    )
+
+
+def canon_map_sql() -> str:
+    """Driver oracle for the production canonicalization map itself."""
+    from .synthetic import oracle_query_linking
+
+    return duckdb_materialize(
+        oracle_query_linking(
+            _canon_ctes() + "SELECT node, rep FROM canon_map", recursive=True
+        )
+    )
+
+
+# Expected alternate-name emissions, enumerated from template ground
+# truth (NOT by re-running the normalization): nickname merges from k13
+# turns; initial-form merges from k16 turns of customers whose initial
+# alias is unambiguous. Org suffix variants are NOT valid alternate
+# names (Utils.isValidAlternateName strips corporate designators).
+# Merged person-form surfaces (nicknames, initials — incl. those that
+# only reach the vote stream via J2 antecedent resolution) are valid
+# alternate names; org corporate-suffix variants are NOT
+# (Utils.isValidAlternateName strips the designators, so
+# 'Org001 Inc' ~ 'Org001'). On this corpus that dichotomy is exactly
+# "node ends in ' Person<6 digits>'".
+_ALT_NAMES_CTE = """
+, alt_names AS (
+  SELECT rep AS entity_name, 'PERSON' AS entity_type,
+         'per:alternate_names' AS relation, node AS slot_value,
+         'PERSON' AS slot_ner, 1 AS n_agree, CAST(0.9 AS DOUBLE) AS score
+  FROM canon_map
+  WHERE regexp_matches(node, ' Person[0-9]{6}$')
+)"""
+
+
+def alternate_names_sql() -> str:
+    from .synthetic import oracle_query_linking
+
+    return duckdb_materialize(
+        oracle_query_linking(
+            _canon_ctes() + _ALT_NAMES_CTE + "\nSELECT * FROM alt_names",
+            recursive=True,
+        )
+    )
 
 
 _W4 = (
@@ -296,17 +618,13 @@ def _final_body(threshold: float = 0.5) -> str:
   -- names, DATE slot shape, org:website token-stem relatedness
   SELECT entity_name, entity_type, relation, slot_value, slot_ner, n_agree, score
   FROM ens WHERE score >= {threshold!r}
-    AND NOT (relation = 'per:title' AND lower(slot_value) IN ({_sql_list(INVALID_TITLES)}))
-    AND NOT (relation = 'org:top_members/employees'
-             AND lower(slot_value) IN ({_sql_list(INVALID_TOP_EMPLOYEES)}))
-    AND NOT (relation = 'org:alternate_names'
-             AND lower(slot_value) IN ({_sql_list(INVALID_ORG_ALT_NAMES)}))
-    AND (slot_ner <> 'DATE'
-         OR regexp_matches(slot_value, '^[0-9]{{4}}([-/][0-9]{{1,2}}([-/][0-9]{{1,2}})?)?$'))
-    AND (relation <> 'org:website'
-         OR (length(lower(regexp_extract(entity_name, '([A-Za-z]+)', 1))) >= 3
-             AND contains(lower(slot_value),
-                          lower(regexp_extract(entity_name, '([A-Za-z]+)', 1)))))
+    AND {conform_pred_sql()}
+){_ALT_NAMES_CTE}
+, base2 AS (
+  -- AlternateNamesExtractor fills join the candidate set before the
+  -- pairwise battery (SimpleSlotFiller.java:256-288 appends rule-based
+  -- + alternate-name fills ahead of the consistency passes)
+  SELECT * FROM base UNION ALL SELECT * FROM alt_names
 ), allowed(r_hi, r_lo) AS (
   SELECT * FROM (VALUES {_allowed_pairs_values()}) v(r_hi, r_lo)
 ), ranked AS (
@@ -317,7 +635,7 @@ def _final_body(threshold: float = 0.5) -> str:
          row_number() OVER (
            PARTITION BY entity_name, entity_type, relation ORDER BY {_W4}
          ) AS rel_rn
-  FROM base
+  FROM base2
 ), conflict AS (
   -- greedy-loop fidelity: only fills surviving their relation's
   -- cardinality top-1 can block others
@@ -331,7 +649,7 @@ def _final_body(threshold: float = 0.5) -> str:
     SELECT 1 FROM allowed a WHERE a.r_hi = hi.relation AND a.r_lo = lo.relation
   )
 ), ok AS (
-  SELECT b.* FROM base b
+  SELECT b.* FROM base2 b
   LEFT JOIN conflict c
     ON c.entity_name = b.entity_name AND c.entity_type = b.entity_type
    AND c.relation = b.relation AND c.slot_value = b.slot_value
@@ -358,7 +676,13 @@ def _final_body(threshold: float = 0.5) -> str:
 
 
 def final_triples_sql(threshold: float = 0.5) -> str:
-    return oracle_query(_final_body(threshold) + "SELECT * FROM final_out")
+    from .synthetic import oracle_query_linking
+
+    return duckdb_materialize(
+        oracle_query_linking(
+            _final_body(threshold) + "SELECT * FROM final_out", recursive=True
+        )
+    )
 
 
 def nil_padded_sql(threshold: float = 0.5) -> str:
@@ -380,4 +704,126 @@ LEFT JOIN final_out t
   ON t.entity_name = g.entity_name AND t.relation = g.relation
  AND t.entity_type = 'PERSON'
 """
-    return oracle_query(body)
+    from .synthetic import oracle_query_linking
+
+    return duckdb_materialize(oracle_query_linking(body, recursive=True))
+
+
+def sentence_competition_sql() -> str:
+    """W5 oracle (GraphConsistencyPostProcessors.java:470-510): per
+    (sentence, entity, slot) keep the single best-ranked vote."""
+    body = TB_ANTE_CTE + f"""
+, votes AS (
+{votes_union_sql()}
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx, entity_name, slot_value
+    ORDER BY score DESC, relation ASC, extractor ASC
+  ) AS r
+  FROM votes
+)
+SELECT conv_id, turn_idx, entity_name, entity_type, slot_value, slot_ner,
+       relation, extractor, score
+FROM ranked WHERE r = 1
+"""
+    return duckdb_materialize(oracle_query(body))
+
+
+def conform_guidelines_sql() -> str:
+    """P8/P9 oracle over pattern-vote fills: the k18 (unrelated website)
+    and k19 (invalid title) plants must be dropped."""
+    body = TB_ANTE_CTE + f"""
+, votes AS (
+{votes_union_sql(extractors=("pattern",))}
+), fills AS (
+  SELECT DISTINCT entity_name, entity_type, relation, slot_value, slot_ner
+  FROM votes
+)
+SELECT * FROM fills WHERE {conform_pred_sql()}
+"""
+    return duckdb_materialize(oracle_query(body))
+
+
+def dedup_approx_sql() -> str:
+    """O3 oracle (NoDuplicatesApproximate): among per:employee_of
+    pattern fills, an org-suffix variant pair collapses to the W4-higher
+    member — 'OrgXXX Inc' (2 tokens) outranks 'OrgXXX', so the bare form
+    drops exactly when the Inc form exists for the same person."""
+    body = TB_ANTE_CTE + f"""
+, votes AS (
+{votes_union_sql(extractors=("pattern",))}
+), fills AS (
+  SELECT DISTINCT entity_name, entity_type, relation, slot_value, slot_ner
+  FROM votes WHERE relation = 'per:employee_of'
+)
+SELECT f.*, CAST(0.9 AS DOUBLE) AS score FROM fills f
+WHERE NOT EXISTS (
+  SELECT 1 FROM fills g
+  WHERE g.entity_name = f.entity_name AND g.entity_type = f.entity_type
+    AND g.relation = f.relation AND g.slot_value = f.slot_value || ' Inc'
+)
+"""
+    return duckdb_materialize(oracle_query(body))
+
+
+def geo_consistency_sql() -> str:
+    """J7 oracle: final residence fills, with every 3rd customer's
+    accepted country deterministically corrupted to 'Atlantis' — the
+    gazetteer contradiction must then drop that customer's city fills
+    (WorldKnowledgePostProcessor city<->country consistency)."""
+    body = _final_body() + """
+, resi AS (
+  SELECT entity_name, entity_type, relation,
+         CASE WHEN relation = 'per:countries_of_residence'
+                   AND CAST(substr(entity_name, length(entity_name) - 5, 6) AS INT) % 3 = 0
+              THEN 'Atlantis' ELSE slot_value END AS slot_value,
+         slot_ner, score
+  FROM final_out
+  WHERE relation IN ('per:cities_of_residence', 'per:countries_of_residence')
+), geo AS (
+  SELECT replace(n_name, ' ', '') || 'ville' AS city, n_name AS country FROM nation
+), accepted AS (
+  SELECT entity_name, entity_type, slot_value AS accepted_country
+  FROM resi WHERE relation = 'per:countries_of_residence'
+)
+SELECT r.* FROM resi r
+WHERE r.relation <> 'per:cities_of_residence'
+   OR NOT EXISTS (
+     SELECT 1 FROM geo g JOIN accepted a
+       ON a.entity_name = r.entity_name AND a.entity_type = r.entity_type
+     WHERE g.city = r.slot_value AND g.country <> a.accepted_country
+   )
+"""
+    from .synthetic import oracle_query_linking
+
+    return duckdb_materialize(oracle_query_linking(body, recursive=True))
+
+
+def pr_score_sql() -> str:
+    """A10 oracle: P/R/F1 of the final triples against the
+    canonicalized pattern-extractor assertions (degenerate equivalence
+    classes = slot values; class mechanics are unit-tested separately)."""
+    body = _final_body() + """
+, gold AS (
+  SELECT DISTINCT entity_name, relation, slot_value
+  FROM votes_c WHERE extractor = 'pattern'
+), guesses AS (
+  SELECT DISTINCT entity_name, relation, slot_value FROM final_out
+), nums AS (
+  SELECT
+    (SELECT count(*) FROM guesses) AS n_guessed,
+    (SELECT count(*) FROM gold) AS n_gold_classes,
+    (SELECT count(*) FROM guesses g JOIN gold USING (entity_name, relation, slot_value)) AS n_correct
+)
+SELECT CAST(n_guessed AS BIGINT) AS n_guessed,
+       CAST(n_gold_classes AS BIGINT) AS n_gold_classes,
+       CAST(n_correct AS BIGINT) AS n_correct,
+       round(n_correct / CAST(n_guessed AS DOUBLE), 6) AS precision,
+       round(n_correct / CAST(n_gold_classes AS DOUBLE), 6) AS recall,
+       round(2 * (n_correct / CAST(n_guessed AS DOUBLE)) * (n_correct / CAST(n_gold_classes AS DOUBLE))
+             / ((n_correct / CAST(n_guessed AS DOUBLE)) + (n_correct / CAST(n_gold_classes AS DOUBLE))), 6) AS f1
+FROM nums
+"""
+    from .synthetic import oracle_query_linking
+
+    return duckdb_materialize(oracle_query_linking(body, recursive=True))

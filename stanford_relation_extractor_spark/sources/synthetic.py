@@ -44,7 +44,10 @@ NICKNAMES: dict[str, str] = {
     "Bobby": "Bob",
     "Caz": "Carol",
     "Dave": "David",
-    "Em": "Emma",
+    # "Emmy", not "Em": a 2-char nickname is within edit distance 1 of
+    # the "X." initial form, so the J8 cascade's near-typo branch would
+    # merge surfaces the wikidict margin rule deliberately left apart
+    "Emmy": "Emma",
     "Frankie": "Frank",
     "Gracie": "Grace",
     "Hank": "Henry",
@@ -54,7 +57,7 @@ _NICK_OF = {v: k for k, v in NICKNAMES.items()}
 # corporate suffixes, modeled on EntityLinker.java:23-37
 CORP_SUFFIXES = ("Inc", "Ltd", "Corp")
 
-N_TEMPLATES = 20
+N_TEMPLATES = 21
 
 _first_name_case = (
     "CASE CAST(o.o_custkey % 8 AS INT) "
@@ -81,7 +84,7 @@ turns_base AS (
     CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
     CASE WHEN o_orderkey % 3 = 2 THEN 'search' END AS tool,
     ts, k, person, person2, nickperson, initialperson, org, org_inc, org_ltd,
-    country, city, age, yr, n_emp, n_cars, title, website, badsite, soctitle,
+    country, city, age, yr, n_emp, n_cars, title, website, badsite, soctitle, pron,
     CASE CAST(k AS INT)
       WHEN 0 THEN person || ' , ' || age || ' , lives in ' || country || ' .'
       WHEN 1 THEN person || ' ( ' || age || ' ) works for ' || org || ' .'
@@ -106,7 +109,10 @@ turns_base AS (
       -- org:website; guideline-invalid per:title
       WHEN 17 THEN person || ' bought ' || n_cars || ' cars .'
       WHEN 18 THEN 'The website of ' || org || ' is ' || badsite || ' .'
-      ELSE person || ' , the ' || soctitle || ' , attended the gala .'
+      WHEN 19 THEN person || ' , the ' || soctitle || ' , attended the gala .'
+      -- k20: pronoun subject — only J2 antecedent propagation can
+      -- attribute the residence to the right person
+      ELSE pron || ' lives in ' || city || ' .'
     END AS main_sent,
     CASE WHEN o_orderkey % 2 = 0 THEN ' Thanks for the update .' ELSE '' END AS filler
   FROM (
@@ -132,7 +138,8 @@ turns_base AS (
            WHEN 2 THEN 'minister' ELSE 'executive' END AS title,
       'www.org' || CAST(o.o_orderkey % 10 + 1 AS STRING) || '.com' AS website,
       'www.shopzone' || CAST(o.o_orderkey % 10 + 1 AS STRING) || '.com' AS badsite,
-      'socialite' AS soctitle
+      'socialite' AS soctitle,
+      'He' AS pron
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -262,4 +269,5 @@ def detector_config(countries: list[str]) -> list[tuple[str, str]]:
         ("DATE", r"\b(?:19|20)[0-9]{2}\b"),
         ("NUMBER", r"\b[0-9]+\b"),
         ("TITLE", r"\b(?:president|chairman|minister|executive|socialite)\b"),
+        ("PRONOUN", r"\b(?:He|She|They|It)\b"),
     ]

@@ -37,8 +37,14 @@ def stream_transcripts(
 
 
 def streaming_votes(transcripts: DataFrame, countries: list[str]) -> DataFrame:
-    """The stage-1/2 extraction lifted to a stream (stateless, no shuffle)."""
-    return extract_votes_fused(transcripts, detector_config(countries))
+    """The stage-1/2 extraction lifted to a stream (stateless, no
+    shuffle). J2 antecedent resolution is batch-only — streams cannot
+    sort per conversation, so unresolved pronouns drop here; a stateful
+    stream variant would carry AntecedentState in
+    applyInPandasWithState keyed by conv_id."""
+    return extract_votes_fused(
+        transcripts, detector_config(countries), resolve_pronouns=False
+    )
 
 
 def streaming_vote_counts(

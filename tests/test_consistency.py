@@ -173,8 +173,11 @@ def test_greedy_consistency_matches_battery_on_corpus(spark):
     from stanford_relation_extractor_spark.plans.pipeline import build_stages
 
     stages = build_stages(spark, "/root/testdata/sf0.001")
+    cand = stages["candidates"].unionByName(
+        stages["alt_names"], allowMissingColumns=True
+    )
     pre = threshold_filter(
-        conform_to_guidelines(sanity_check(type_check(stages["candidates"], spark)))
+        conform_to_guidelines(sanity_check(type_check(cand, spark)))
     ).drop("cardinality")
     greedy = greedy_consistency(pre)
     battery = stages["triples"]

@@ -53,17 +53,26 @@ def test_per_extractor_max_pooling(spark):
 def test_agree_all_requires_every_extractor(spark):
     df = _votes_df(spark, [("pattern", "per:age", 0.9), ("trigger", "per:age", 0.8)])
     assert combine_votes(df, combination=AGREE_ALL).count() == 0
-    df3 = _votes_df(
+    df4 = _votes_df(
         spark,
-        [("pattern", "per:age", 0.9), ("trigger", "per:age", 0.8), ("window", "per:age", 0.4)],
+        [("pattern", "per:age", 0.9), ("trigger", "per:age", 0.8),
+         ("window", "per:age", 0.4), ("statistical", "per:age", 0.7)],
     )
-    assert combine_votes(df3, combination=AGREE_ALL).count() == 1
+    assert combine_votes(df4, combination=AGREE_ALL).count() == 1
 
 
 def test_agree_most_java_integer_division(spark):
-    # n_extractors=3 -> gate is >= 1 (3/2==1 in Java int division)
+    # default n_extractors=4 -> gate is >= 2 (4/2 in Java int division)
     df = _votes_df(spark, [("window", "per:age", 0.4)])
-    assert combine_votes(df, combination=AGREE_MOST).count() == 1
+    assert combine_votes(df, combination=AGREE_MOST).count() == 0
+    df2 = _votes_df(
+        spark, [("window", "per:age", 0.4), ("statistical", "per:age", 0.6)]
+    )
+    assert combine_votes(df2, combination=AGREE_MOST).count() == 1
+    # 3-member ensemble -> gate is >= 1 (3/2 == 1)
+    assert combine_votes(
+        df, combination=AGREE_MOST, extractors=("pattern", "trigger", "window")
+    ).count() == 1
     # n_extractors=7 -> gate is >= 3
     assert combine_votes(df, n_extractors=7, combination=AGREE_MOST).count() == 0
 

@@ -83,3 +83,35 @@ def test_window_only_never_reaches_threshold():
 
 def test_distractor_yields_nothing():
     assert _votes("The shipment arrived on time .") == []
+
+
+def test_pronoun_antecedent_resolution_in_fused_path(spark):
+    """J2 in-pipeline: a pronoun turn votes under the most recent
+    preceding PERSON surface of its conversation; with no antecedent the
+    pronoun drops; state resets across conversations."""
+    from pyspark.sql import functions as F
+
+    from stanford_relation_extractor_spark.operators.extractors import (
+        extract_votes_fused,
+    )
+    from stanford_relation_extractor_spark.sources.synthetic import detector_config
+
+    config = detector_config(["GERMANY"])
+    rows = [
+        ("c1", 0, "u", "Alice Person000001 is 34 years old .", None, None),
+        ("c1", 1, "u", "He lives in GERMANYville .", None, None),
+        # c2 starts with the pronoun -> no antecedent -> no votes
+        ("c2", 0, "u", "He lives in GERMANYville .", None, None),
+        ("c2", 1, "u", "Bob Person000002 is 40 years old .", None, None),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    votes = extract_votes_fused(t, config, with_statistical=False).collect()
+    by_conv_turn = {}
+    for r in votes:
+        by_conv_turn.setdefault((r["conv_id"], r["turn_idx"]), set()).add(
+            (r["entity_name"], r["relation"])
+        )
+    assert ("Alice Person000001", "per:cities_of_residence") in by_conv_turn[("c1", 1)]
+    assert ("c2", 0) not in by_conv_turn  # unresolved pronoun casts nothing

@@ -40,7 +40,9 @@ def test_streaming_votes_match_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM stream_votes").collect()
     }
     batch = (
-        extract_votes_fused(spark.read.parquet(src), detector_config(countries))
+        extract_votes_fused(
+            spark.read.parquet(src), detector_config(countries), resolve_pronouns=False
+        )
         .groupBy("entity_name", "entity_type", "relation", "slot_value", "extractor")
         .count()
         .collect()
