@@ -228,7 +228,11 @@ def build_canon_map(
     e_link = linked.filter(
         F.col("linked").isNotNull() & (F.col("linked") != F.col("surface"))
     ).select(F.col("surface").alias("src"), F.col("linked").alias("dst"))
-    directed = e_dict.unionByName(e_link)
+    # cut lineage at the (tiny) edge set: the alias-dictionary scan and
+    # the wikidict margin aggregation would otherwise be replayed by
+    # every downstream action (CC iterations, rewrite joins, alternate
+    # names, each ensemble consumer)
+    directed = e_dict.unionByName(e_link).localCheckpoint(eager=True)
     edges = directed
     if include_cascade:
         cascade = same_entity_edges(
@@ -246,13 +250,15 @@ def build_canon_map(
     pure_reps = comps.join(pure, "node").groupBy("component").agg(
         F.min("node").alias("_rep")
     )
-    return (
+    out = (
         comps.join(pure_reps, "component", "left")
         .select(
             "node", F.coalesce(F.col("_rep"), F.col("component")).alias("rep")
         )
         .filter(F.col("node") != F.col("rep"))
     )
+    # the map is consumed by >= 3 downstream branches — materialize once
+    return out.localCheckpoint(eager=True)
 
 
 def rewrite_votes(votes: DataFrame, canon_map: DataFrame) -> DataFrame:
