@@ -272,6 +272,18 @@ def _geo_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return check_geo_consistency(validate_city_slots(resi, geo), geo)
 
 
+def _inferred_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stanford_relation_extractor_spark.operators.inference import infer_triples
+    from stanford_relation_extractor_spark.operators.worldknowledge import (
+        geo_cities_df,
+    )
+    from stanford_relation_extractor_spark.plans.pipeline import build_stages
+
+    return infer_triples(
+        build_stages(spark, sf_dir)["triples"], geo_cities_df(spark, sf_dir)
+    )
+
+
 def _pr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stanford_relation_extractor_spark.operators.evaluate import pr_score
     from stanford_relation_extractor_spark.plans.pipeline import build_stages
@@ -316,6 +328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conform_guidelines": _conform_guidelines,
         "dedup_approximate_fills": _dedup_approx,
         "geo_consistency": _geo_consistency,
+        "inferred_triples": _inferred_triples,
         "pr_score": _pr_score,
         **_datapipe_queries(),
     }
@@ -331,6 +344,8 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": dq.q_simhash,
         "knn_bruteforce": dq.q_knn_bruteforce,
         "lsh_knn": dq.q_lsh_knn,
+        "lsh_knn_banded": dq.q_lsh_knn_banded,
+        "simhash_neardups": dq.q_simhash_neardups,
         "token_counts": dq.q_token_counts,
         "quality_scores": dq.q_quality,
         "fingerprints": dq.q_fingerprints,
@@ -392,6 +407,7 @@ def oracle_sql() -> dict[str, str]:
         "conform_guidelines": orc.conform_guidelines_sql(),
         "dedup_approximate_fills": orc.dedup_approx_sql(),
         "geo_consistency": orc.geo_consistency_sql(),
+        "inferred_triples": orc.inferred_triples_sql(),
         "pr_score": orc.pr_score_sql(),
         "wikidict_link": oracle_query_linking(
             """

@@ -1,0 +1,184 @@
+"""REAL multi-executor scaling benchmark (the north rule's own protocol).
+
+Brings up a Spark STANDALONE cluster on this host (master + one 32-core
+worker), then runs the full KG pipeline as a submitted application at
+two cluster sizes:
+
+    N  executors: 1 executor  x 8 cores (spark.cores.max = 8)
+    4N executors: 4 executors x 8 cores (spark.cores.max = 32)
+
+Each executor is its own JVM with its own heap, GC, shuffle files and
+Python workers — the per-executor costs that a single shared local[n]
+JVM conflates are genuinely isolated here, and shuffles cross executor
+boundaries over loopback. Efficiency = throughput(4N) / (4 x
+throughput(N)); best-of-`--runs` per level inside one long-lived
+application (a cluster job does not pay JIT warm-up per batch).
+
+Usage: python scripts/cluster_bench.py [sf_dir] [--factor=K] [--runs=R]
+Writes one JSON line; BENCH/BASELINE.md records the analysis.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_HOME = "/opt/spark"
+MASTER = "spark://127.0.0.1:7077"
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession, functions as F
+
+n_exec = {n_exec}
+spark = (
+    SparkSession.builder.master({master!r})
+    .appName(f"cluster_bench_{{n_exec}}x8")
+    .config("spark.executor.cores", "8")
+    .config("spark.executor.memory", "18g")
+    .config("spark.cores.max", str(8 * n_exec))
+    .config("spark.sql.shuffle.partitions", str(8 * n_exec))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
+    .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("WARN")
+spark.sparkContext.addPyFile({zip_path!r})
+
+from stanford_relation_extractor_spark.plans.pipeline import build_stages
+
+inp = spark.read.parquet({amp_path!r}).repartition(8 * n_exec * 3)
+n = inp.count()
+times = []
+for _ in range({runs}):
+    t0 = time.monotonic()
+    build_stages(spark, {sf_dir!r}, transcripts=inp)["triples"] \
+        .write.format("noop").mode("overwrite").save()
+    times.append(round(time.monotonic() - t0, 3))
+print(json.dumps({{"n_exec": n_exec, "turns": n, "times": times, "sec": min(times)}}))
+spark.stop()
+"""
+
+
+def sh(cmd: list[str], env: dict | None = None) -> None:
+    e = dict(os.environ)
+    e.update(env or {})
+    subprocess.run(cmd, check=True, env=e, capture_output=True, text=True)
+
+
+def ensure_cluster() -> None:
+    env = {
+        "SPARK_MASTER_HOST": "127.0.0.1",
+        "SPARK_WORKER_CORES": "32",
+        "SPARK_WORKER_MEMORY": "96g",
+        "PYSPARK_PYTHON": sys.executable,
+    }
+    subprocess.run([f"{SPARK_HOME}/sbin/stop-worker.sh"], capture_output=True)
+    subprocess.run([f"{SPARK_HOME}/sbin/stop-master.sh"], capture_output=True)
+    sh([f"{SPARK_HOME}/sbin/start-master.sh"], env)
+    time.sleep(3)
+    sh([f"{SPARK_HOME}/sbin/start-worker.sh", MASTER], env)
+    time.sleep(3)
+
+
+def stop_cluster() -> None:
+    subprocess.run([f"{SPARK_HOME}/sbin/stop-worker.sh"], capture_output=True)
+    subprocess.run([f"{SPARK_HOME}/sbin/stop-master.sh"], capture_output=True)
+
+
+def build_zip() -> str:
+    zp = "/tmp/spark_graft_engine.zip"
+    with zipfile.ZipFile(zp, "w") as z:
+        pkg = os.path.join(REPO, "stanford_relation_extractor_spark")
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zp
+
+
+def amplify(sf_dir: str, factor: int) -> str:
+    amp_path = f"/tmp/spark_graft_amp_{factor}.parquet"
+    if os.path.exists(amp_path + "/_SUCCESS"):
+        return amp_path
+    code = f"""
+import sys
+sys.path.insert(0, {REPO!r})
+from pyspark.sql import functions as F
+from stanford_relation_extractor_spark.session import get_spark
+from stanford_relation_extractor_spark.sources.synthetic import transcripts_df
+spark = get_spark("amp", cpus=32, shuffle_partitions=32)
+t = transcripts_df(spark, {sf_dir!r})
+reps = spark.range({factor}).select(F.col("id").alias("_rep"))
+(t.crossJoin(F.broadcast(reps))
+   .withColumn("conv_id", F.concat_ws("#", F.col("conv_id"), F.col("_rep")))
+   .drop("_rep").repartition(128)
+   .write.mode("overwrite").parquet({amp_path!r}))
+"""
+    subprocess.run([sys.executable, "-c", code], check=True, capture_output=True, text=True)
+    return amp_path
+
+
+def run_level(n_exec: int, sf_dir: str, amp_path: str, zip_path: str, runs: int) -> dict:
+    code = CHILD.format(
+        repo=REPO, n_exec=n_exec, master=MASTER, zip_path=zip_path,
+        amp_path=amp_path, sf_dir=sf_dir, runs=runs,
+    )
+    env = dict(os.environ)
+    env["PYSPARK_PYTHON"] = sys.executable
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, check=True, env=env
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    factor = int(next((a.split("=")[1] for a in sys.argv if a.startswith("--factor=")), 16))
+    runs = int(next((a.split("=")[1] for a in sys.argv if a.startswith("--runs=")), 3))
+    amp_path = amplify(sf_dir, factor)
+    zip_path = build_zip()
+    ensure_cluster()
+    try:
+        lo = run_level(1, sf_dir, amp_path, zip_path, runs)
+        hi = run_level(4, sf_dir, amp_path, zip_path, runs)
+    finally:
+        stop_cluster()
+    thr_lo = lo["turns"] / lo["sec"]
+    thr_hi = hi["turns"] / hi["sec"]
+    eff = thr_hi / (4 * thr_lo)
+    print(json.dumps({
+        "mode": "standalone-cluster",
+        "sf_dir": sf_dir,
+        "amplify_factor": factor,
+        "executors_n": 1,
+        "executors_4n": 4,
+        "executor_cores": 8,
+        "turns": lo["turns"],
+        "times_at_n": lo["times"],
+        "times_at_4n": hi["times"],
+        "sec_at_n": lo["sec"],
+        "sec_at_4n": hi["sec"],
+        "turns_per_sec_at_n": round(thr_lo, 1),
+        "turns_per_sec_at_4n": round(thr_hi, 1),
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }))
+
+
+if __name__ == "__main__":
+    main()

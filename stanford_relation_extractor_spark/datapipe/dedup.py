@@ -240,3 +240,59 @@ def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:
             ),
         ).alias("simhash")
     )
+
+
+def simhash_near_dups(
+    docs: DataFrame, bits: int = 32, bands: int = 4, max_hamming: int = 3
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): SimHash near-dup pairs via Hamming-band
+    candidate join — the scale path the round-1 docstring promised.
+
+    Pigeonhole guarantee: two signatures within ``max_hamming`` bits
+    differ in at most max_hamming bands, so with
+    ``bands > max_hamming`` they MUST agree on at least one exact band —
+    the band equi-join loses NO pairs under the threshold (no recall
+    trade, unlike capped prefix blocking). Never an all-pairs join.
+    """
+    if bands <= max_hamming:
+        raise ValueError("need bands > max_hamming for the pigeonhole guarantee")
+    width = bits // bands
+    sig = simhash_signatures(docs, bits)
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(bands)])).alias("band"),
+    ).select(
+        "doc_id",
+        "simhash",
+        "band",
+        F.substring(F.col("simhash"), F.col("band") * width + 1, width).alias("bv"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "bv"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"),
+        F.col("band").alias("band_b"), F.col("bv").alias("bv_b"),
+    )
+    pairs = (
+        a.join(b, (a["band"] == b["band_b"]) & (a["bv"] == b["bv_b"]))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.split(F.col("sig_a"), ""),
+                F.split(F.col("sig_b"), ""),
+                lambda x, y: x != y,
+            ),
+            lambda z: z,
+        )
+    )
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -288,3 +288,94 @@ ALL = {
     "events_sessions": EVENTS_SESSIONS,
     "multimodal_features": MULTIMODAL_FEATURES,
 }
+
+
+def _lsh_sig_sql(n_bits: int) -> str:
+    """Parameterized hyperplane-signature CTE (md5-derived +-1 planes,
+    byte-identical to similarity.hyperplane_signs)."""
+    return f"""
+planes AS (
+  SELECT j, d,
+         CASE WHEN substr(md5(CAST(j AS STRING) || ':' || CAST(d AS STRING)), 1, 1)
+                   IN ('8','9','a','b','c','d','e','f')
+              THEN 1.0 ELSE -1.0 END AS w
+  FROM (SELECT unnest(range(0, {n_bits})) AS j) js
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS d) ds
+),
+comps AS (
+  SELECT vec_id, d, CAST(embedding[d + 1] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS d) ds
+),
+dots AS (
+  SELECT c.vec_id, p.j, sum(c.x * p.w) AS dot
+  FROM comps c JOIN planes p ON c.d = p.d
+  GROUP BY c.vec_id, p.j
+),
+sig AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
+  FROM dots GROUP BY vec_id
+)"""
+
+
+LSH_KNN_BANDED = f"""WITH {_lsh_sig_sql(16)},
+bands AS (
+  SELECT vec_id, b, substr(bucket, b * 4 + 1, 4) AS bv
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs
+),
+qb AS (
+  SELECT s.vec_id AS query_id, b.b, b.bv
+  FROM sig s JOIN bands b ON b.vec_id = s.vec_id
+  WHERE s.vec_id < 5
+),
+cand AS (
+  SELECT DISTINCT q.query_id, v.vec_id
+  FROM qb q JOIN bands v ON v.b = q.b AND v.bv = q.bv
+  WHERE v.vec_id <> q.query_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding, e.embedding) AS sim
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings e ON e.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM ranked WHERE rank <= 3"""
+
+
+SIMHASH_NEAR_DUPS = f"""WITH {NEARDUP_CORPUS},
+toks AS (
+  SELECT doc_id, unnest(string_split({NORM}, ' ')) AS w FROM corpus
+),
+bits AS (
+  SELECT doc_id, j,
+         CASE WHEN substr(md5(w), j, 1) IN ('8','9','a','b','c','d','e','f')
+              THEN 1 ELSE -1 END AS v
+  FROM toks CROSS JOIN (SELECT unnest(range(1, 33)) AS j) js
+),
+per_bit AS (SELECT doc_id, j, sum(v) AS s FROM bits GROUP BY doc_id, j),
+sig AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+  FROM per_bit GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, simhash, b, substr(simhash, b * 8 + 1, 8) AS bv
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM banded a JOIN banded b ON a.b = b.b AND a.bv = b.bv
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(hamming(sig_a, sig_b) AS INT) AS hamming
+FROM pairs WHERE hamming(sig_a, sig_b) <= 3"""
+
+ALL["lsh_knn_banded"] = LSH_KNN_BANDED
+ALL["simhash_neardups"] = SIMHASH_NEAR_DUPS

@@ -98,3 +98,12 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.byte_features(multimodal.attach_payload(_docs(spark, sf_dir)))
+
+
+def q_lsh_knn_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_knn_banded(emb, _queries_vec(spark, sf_dir), k=3)
+
+
+def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_dups(neardup_corpus(spark, sf_dir))

