@@ -78,11 +78,16 @@ def sh(cmd: list[str], env: dict | None = None) -> None:
 
 
 def ensure_cluster() -> None:
+    os.makedirs("/dev/shm/spark_local", exist_ok=True)
     env = {
         "SPARK_MASTER_HOST": "127.0.0.1",
         "SPARK_WORKER_CORES": "32",
         "SPARK_WORKER_MEMORY": "96g",
         "PYSPARK_PYTHON": sys.executable,
+        # per-executor scratch on a real cluster is local NVMe; the
+        # single shared disk of this sandbox would otherwise serialize
+        # all executors' shuffle/spool I/O
+        "SPARK_LOCAL_DIRS": "/dev/shm/spark_local",
     }
     subprocess.run([f"{SPARK_HOME}/sbin/stop-worker.sh"], capture_output=True)
     subprocess.run([f"{SPARK_HOME}/sbin/stop-master.sh"], capture_output=True)
@@ -138,9 +143,14 @@ def run_level(n_exec: int, sf_dir: str, amp_path: str, zip_path: str, runs: int)
     )
     env = dict(os.environ)
     env["PYSPARK_PYTHON"] = sys.executable
+    os.makedirs("/dev/shm/spark_scratch", exist_ok=True)
+    env["SPARK_GRAFT_SCRATCH"] = "/dev/shm/spark_scratch"
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, check=True, env=env
     )
+    import shutil
+
+    shutil.rmtree("/dev/shm/spark_scratch", ignore_errors=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 

@@ -55,23 +55,31 @@ def combine_votes(
     # combine (the pipeline's main shuffle). Field order = (quantized
     # descending weight, conv_id, turn_idx, sent_idx, spans) — a total
     # order, so provenance selection stays bit-deterministic.
+    # lpad(cast) rather than format_string (java.util.Formatter is an
+    # order of magnitude slower per row), and the key is PROJECTED once
+    # before the aggregation — as a per-aggregate child expression it
+    # would be re-evaluated once per extractor branch per row.
+    def _pad(col: F.Column, width: int) -> F.Column:
+        return F.lpad(col.cast("string"), width, "0")
+
     vote_key = F.concat_ws(
         "|",
-        F.format_string("%07d", ((F.lit(1.0) - F.col("score")) * 1e6).cast("int")),
+        _pad(((F.lit(1.0) - F.col("score")) * 1e6).cast("int"), 7),
         F.col("conv_id"),
-        F.format_string("%010d", F.col("turn_idx")),
-        F.format_string("%06d", F.col("sent_idx")),
-        F.format_string("%06d", F.col("entity_begin")),
-        F.format_string("%06d", F.col("entity_end")),
-        F.format_string("%06d", F.col("slot_begin")),
-        F.format_string("%06d", F.col("slot_end")),
+        _pad(F.col("turn_idx"), 10),
+        _pad(F.col("sent_idx"), 6),
+        _pad(F.col("entity_begin"), 6),
+        _pad(F.col("entity_end"), 6),
+        _pad(F.col("slot_begin"), 6),
+        _pad(F.col("slot_end"), 6),
     )
+    keyed = votes.withColumn("_vote_key", vote_key)
     aggs = []
     for i, ex in enumerate(extractors):
         cond = F.col("extractor") == ex
         aggs.append(F.max(F.when(cond, F.col("score"))).alias(f"_w{i}"))
-        aggs.append(F.min(F.when(cond, vote_key)).alias(f"_p{i}"))
-    agg = votes.groupBy(*GROUP_KEY).agg(*aggs)
+        aggs.append(F.min(F.when(cond, F.col("_vote_key"))).alias(f"_p{i}"))
+    agg = keyed.groupBy(*GROUP_KEY).agg(*aggs)
 
     ws = F.array_sort(
         F.filter(F.array(*[F.col(f"_w{i}") for i in range(len(extractors))]), lambda x: x.isNotNull())

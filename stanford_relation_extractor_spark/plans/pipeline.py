@@ -45,9 +45,15 @@ def _parquet_spool(df: DataFrame, spark: SparkSession, name: str) -> DataFrame:
     and hand back a fresh scan — the in-session analog of
     run_pipeline's checkpoint_stage (columnar, off-heap via the page
     cache, codegen-scannable), without the block-manager heap cost."""
+    import os
     import tempfile
 
-    d = tempfile.mkdtemp(prefix=f"spark_graft_{name}_")
+    # SPARK_GRAFT_SCRATCH points spools at fast scratch (e.g. /dev/shm
+    # on the single-disk sandbox — a stand-in for the per-executor NVMe
+    # a real cluster gives each shuffle/spill dir)
+    d = tempfile.mkdtemp(
+        prefix=f"spark_graft_{name}_", dir=os.environ.get("SPARK_GRAFT_SCRATCH")
+    )
     df.write.mode("overwrite").parquet(d)
     return spark.read.parquet(d)
 

@@ -39,6 +39,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # batch-throughput GC: G1's pause-time goal costs wall time on
+        # this many-threads-one-heap local mode (BENCH/BASELINE.md)
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
