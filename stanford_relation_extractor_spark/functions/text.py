@@ -160,3 +160,16 @@ def blocking_key(name: str) -> str:
     if not toks:
         return ""
     return f"{toks[-1]}:{n[:1]}"
+
+
+def blocking_key_ext(name: str) -> str:
+    """Extended blocking key for hot blocks: normalized last token +
+    first THREE characters. Real name distributions make the base key
+    quadratic ('smith:j'); blocks over the cap re-key here, trading the
+    pairs that differ inside the 3-char prefix (same recall trade the
+    base key already makes at 1 char)."""
+    n = no_special_chars(strip_corp(name))
+    toks = n.split()
+    if not toks:
+        return ""
+    return f"{toks[-1]}:{n[:3]}"

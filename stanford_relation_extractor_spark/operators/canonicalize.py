@@ -237,20 +237,26 @@ def build_canon_map(
     e_link = linked.filter(
         F.col("linked").isNotNull() & (F.col("linked") != F.col("surface"))
     ).select(F.col("surface").alias("src"), F.col("linked").alias("dst"))
-    # cut lineage at the (tiny) edge set: the directed edges feed FOUR
-    # plan branches (CC sym, sources, targets, rep selection) and
-    # Catalyst does not reuse the wikidict aggregation exchange across
-    # them — one small eager job here beats ~4x replay of the alias
-    # scan + margin aggregation (measured 2x end-to-end)
-    directed = e_dict.unionByName(e_link).localCheckpoint(eager=True)
-    edges = directed
+    # ONE lineage cut at the (tiny) tagged edge set: the directed edges
+    # feed FOUR plan branches (CC sym, sources, targets, rep selection)
+    # and the cascade edges are re-consumed by EVERY lazy-CC iteration —
+    # without the cut Catalyst replays the wikidict aggregation and the
+    # whole blocked-pair cascade (joins + window + Arrow judge) per
+    # branch per iteration (measured: canon build 145s -> ~10s at
+    # sf0.001 when the cascade subtree is cut before CC).
+    all_edges = e_dict.unionByName(e_link).select(
+        "src", "dst", F.lit("d").alias("_tag")
+    )
     if include_cascade:
         cascade = same_entity_edges(
             surf.select(
                 F.col("surface").alias("entity_name"), F.col("ner").alias("entity_type")
             )
-        )
-        edges = edges.unionByName(cascade)
+        ).select("src", "dst", F.lit("c").alias("_tag"))
+        all_edges = all_edges.unionByName(cascade)
+    all_edges = all_edges.localCheckpoint(eager=True)
+    directed = all_edges.filter(F.col("_tag") == "d").drop("_tag")
+    edges = all_edges.drop("_tag")
     # lazy CC (no per-iteration jobs): the alias/link graph has diameter
     # <= 2 (every edge points at a canonical target), so a fixed small
     # iteration count suffices and the whole loop rides the single
@@ -350,13 +356,114 @@ def emit_alternate_names(
     )
 
 
-def same_entity_edges(entities: DataFrame) -> DataFrame:
-    """J8 at scale: candidate pairs by blocking, scored by the linker
-    cascade — never an O(n^2) cross join.
+def blocked_candidate_pairs(
+    entities: DataFrame, max_block: int = 64, neighborhood: int = 8
+) -> DataFrame:
+    """J8 candidate generation with a hot-block cap — never O(n^2).
 
-    ``entities``: (entity_name, entity_type) distinct. Pairs are
-    generated only within a blocking key (normalized last token + first
-    char, `functions/text.py`), then judged by ``same_entity``
+    ``entities``: (entity_name, entity_type) distinct. Three tiers:
+
+    1. base blocking key (normalized last token + first char,
+       `functions/text.py:blocking_key`) — full within-block pairing for
+       blocks of <= ``max_block`` members;
+    2. blocks over the cap re-key by the extended key (last token +
+       3-char prefix) — one small groupBy over the KEY set, mirroring
+       `datapipe/dedup.py` prefix_block_jaccard's max_block re-key;
+    3. blocks STILL over the cap after re-keying (a million "John
+       Smith…" variants) fall back to sorted-neighborhood pairing:
+       rank surfaces by name within the block and pair only ranks
+       (r, r+d), d <= ``neighborhood`` — pair volume n*d instead of
+       n^2/2, and lexicographically-near surfaces (the ones the cascade
+       can actually merge) sort adjacent. Documented recall trade, the
+       same one the base key already makes at its 1-char prefix.
+
+    Output: (src, dst, et) with src < dst within a block.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    from ..functions.text import blocking_key, blocking_key_ext
+
+    def add_block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["block"] = pdf["entity_name"].map(blocking_key)
+            pdf["block_ext"] = pdf["entity_name"].map(blocking_key_ext)
+            yield pdf
+
+    keyed0 = entities.select("entity_name", "entity_type").mapInPandas(
+        add_block,
+        schema=(
+            "entity_name string, entity_type string, block string, block_ext string"
+        ),
+    ).filter(F.col("block") != "")
+    counts = keyed0.groupBy("entity_type", "block").agg(F.count("*").alias("_n0"))
+    keyed = (
+        keyed0.join(counts, ["entity_type", "block"])
+        .select(
+            "entity_name",
+            "entity_type",
+            F.when(F.col("_n0") > max_block, F.col("block_ext"))
+            .otherwise(F.col("block"))
+            .alias("block"),
+        )
+    )
+    counts2 = keyed.groupBy("entity_type", "block").agg(F.count("*").alias("_n"))
+    keyed = keyed.join(counts2, ["entity_type", "block"])
+
+    cold = keyed.filter(F.col("_n") <= max_block)
+    a = cold.select(
+        F.col("entity_name").alias("src"), F.col("entity_type").alias("et"), "block"
+    )
+    b = cold.select(
+        F.col("entity_name").alias("dst"),
+        F.col("entity_type").alias("et_b"),
+        F.col("block").alias("block_b"),
+    )
+    pairs_cold = a.join(
+        b,
+        (F.col("block") == F.col("block_b"))
+        & (F.col("et") == F.col("et_b"))
+        & (F.col("src") < F.col("dst")),
+    ).select("src", "dst", "et")
+
+    hot = keyed.filter(F.col("_n") > max_block)
+    w = Window.partitionBy("entity_type", "block").orderBy("entity_name")
+    ranked = hot.withColumn("_r", F.row_number().over(w))
+    offsets = F.explode(
+        F.array(*[F.lit(d) for d in range(1, neighborhood + 1)])
+    ).alias("_d")
+    left = ranked.select(
+        F.col("entity_name").alias("src"),
+        F.col("entity_type").alias("et"),
+        "block",
+        "_r",
+        offsets,
+    )
+    right = ranked.select(
+        F.col("entity_name").alias("dst"),
+        F.col("entity_type").alias("et_b"),
+        F.col("block").alias("block_b"),
+        F.col("_r").alias("_r_b"),
+    )
+    pairs_hot = left.join(
+        right,
+        (F.col("block") == F.col("block_b"))
+        & (F.col("et") == F.col("et_b"))
+        & (F.col("_r_b") == F.col("_r") + F.col("_d")),
+    ).select("src", "dst", "et")
+
+    return pairs_cold.unionByName(pairs_hot)
+
+
+def same_entity_edges(
+    entities: DataFrame, max_block: int = 64, neighborhood: int = 8
+) -> DataFrame:
+    """J8 at scale: candidate pairs by capped blocking
+    (``blocked_candidate_pairs``), judged by ``same_entity``
     (EntityLinker.java:67-84 cascade) inside an Arrow batch. Output:
     undirected (src, dst) edges for connected components.
     """
@@ -364,31 +471,9 @@ def same_entity_edges(entities: DataFrame) -> DataFrame:
 
     import pandas as pd
 
-    from ..functions.text import blocking_key, same_entity
+    from ..functions.text import same_entity
 
-    def add_block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["block"] = pdf["entity_name"].map(blocking_key)
-            yield pdf
-
-    keyed = entities.select("entity_name", "entity_type").mapInPandas(
-        add_block, schema="entity_name string, entity_type string, block string"
-    ).filter(F.col("block") != "")
-    a = keyed.select(
-        F.col("entity_name").alias("src"), F.col("entity_type").alias("et"), "block"
-    )
-    b = keyed.select(
-        F.col("entity_name").alias("dst"),
-        F.col("entity_type").alias("et_b"),
-        F.col("block").alias("block_b"),
-    )
-    pairs = a.join(
-        b,
-        (F.col("block") == F.col("block_b"))
-        & (F.col("et") == F.col("et_b"))
-        & (F.col("src") < F.col("dst")),
-    ).select("src", "dst", "et")
+    pairs = blocked_candidate_pairs(entities, max_block, neighborhood)
 
     def judge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

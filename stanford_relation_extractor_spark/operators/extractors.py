@@ -62,6 +62,13 @@ WINDOW_WEIGHT = 0.4
 # keeps the vote stream narrow)
 STATISTICAL_MIN_PROB = 0.2
 
+# Cap on the per-task feature-tuple score memo. Template-shaped corpora
+# have O(#templates) distinct tuples; on real text distinct tuples grow
+# with partition size, so an unbounded dict is an executor-memory risk
+# at 100x scale. FIFO eviction (oldest insert drops) is O(1) and close
+# enough to LRU here — scoring without a memo hit is already cheap.
+STATISTICAL_MEMO_CAP = 1 << 16
+
 
 def _stat_context() -> tuple[dict, list[str], dict]:
     """(frozen weight table, softmax support, per-executor memo). The
@@ -378,6 +385,8 @@ def votes_for_sentence(
                         for rel, p in full.items()
                         if rel != "NIL" and p >= STATISTICAL_MIN_PROB
                     }
+                    if len(memo) >= STATISTICAL_MEMO_CAP:
+                        memo.pop(next(iter(memo)))
                     memo[feats] = probs
                 for rel in rels:
                     p = probs.get(rel)

@@ -40,11 +40,25 @@ from ..sources.synthetic import (
 )
 
 
+# Live spool scratch directories, reaped at interpreter exit (long
+# sessions would otherwise leak one dir per build_stages call — on
+# /dev/shm in the bench config, i.e. RAM).
+_SPOOL_DIRS: list[str] = []
+
+
+def _cleanup_spools() -> None:
+    import shutil
+
+    while _SPOOL_DIRS:
+        shutil.rmtree(_SPOOL_DIRS.pop(), ignore_errors=True)
+
+
 def _parquet_spool(df: DataFrame, spark: SparkSession, name: str) -> DataFrame:
     """Materialize an intermediate table as compressed parquet scratch
     and hand back a fresh scan — the in-session analog of
     run_pipeline's checkpoint_stage (columnar, off-heap via the page
     cache, codegen-scannable), without the block-manager heap cost."""
+    import atexit
     import os
     import tempfile
 
@@ -54,6 +68,9 @@ def _parquet_spool(df: DataFrame, spark: SparkSession, name: str) -> DataFrame:
     d = tempfile.mkdtemp(
         prefix=f"spark_graft_{name}_", dir=os.environ.get("SPARK_GRAFT_SCRATCH")
     )
+    if not _SPOOL_DIRS:
+        atexit.register(_cleanup_spools)
+    _SPOOL_DIRS.append(d)
     df.write.mode("overwrite").parquet(d)
     return spark.read.parquet(d)
 
@@ -154,7 +171,7 @@ def run_pipeline(
 
     from ..sources.sinks import checkpoint_stage, fingerprint, read_manifest
 
-    cfg = {"sf_dir": sf_dir, "combination": combination, "version": 2}
+    cfg = {"sf_dir": sf_dir, "combination": combination, "version": 3}
 
     fp_sent = fingerprint("sentences", cfg, [])
     sentences = checkpoint_stage(
@@ -164,14 +181,24 @@ def run_pipeline(
         fp_sent,
     )
 
-    def fresh_votes() -> DataFrame:
-        return extract_votes(sentences)
+    # ONE extraction: the Arrow pass (the pipeline's most expensive
+    # stage) lands as its own checkpointed table; the canon-map build,
+    # the vote rewrite AND the alternate-name surface set all read this
+    # parquet scan instead of re-running the extraction (three times,
+    # as the pre-v3 layout did).
+    fp_votes_raw = fingerprint("votes", cfg, [fp_sent])
+    votes = checkpoint_stage(
+        spark,
+        lambda: extract_votes(sentences),
+        os.path.join(checkpoint_dir, "votes"),
+        fp_votes_raw,
+    )
 
-    fp_canon = fingerprint("canon_map", cfg, [fp_sent])
+    fp_canon = fingerprint("canon_map", cfg, [fp_votes_raw])
     canon_map = checkpoint_stage(
         spark,
         lambda: build_canon_map(
-            vote_surfaces(fresh_votes()).localCheckpoint(eager=True),
+            vote_surfaces(votes).localCheckpoint(eager=True),
             alias_dict_df(spark, sf_dir),
             NICKNAMES,
             CORP_SUFFIXES,
@@ -180,10 +207,10 @@ def run_pipeline(
         fp_canon,
     )
 
-    fp_votes = fingerprint("linked_votes", cfg, [fp_sent, fp_canon])
+    fp_votes = fingerprint("linked_votes", cfg, [fp_votes_raw, fp_canon])
     linked_votes = checkpoint_stage(
         spark,
-        lambda: rewrite_votes(fresh_votes(), canon_map),
+        lambda: rewrite_votes(votes, canon_map),
         os.path.join(checkpoint_dir, "linked_votes"),
         fp_votes,
     )
@@ -192,9 +219,7 @@ def run_pipeline(
     candidates = checkpoint_stage(
         spark,
         lambda: combine_votes(linked_votes, combination=combination).unionByName(
-            emit_alternate_names(
-                canon_map, vote_surfaces(fresh_votes()).localCheckpoint(eager=True)
-            ),
+            emit_alternate_names(canon_map, vote_surfaces(votes)),
             allowMissingColumns=True,
         ),
         os.path.join(checkpoint_dir, "candidates"),
@@ -212,6 +237,8 @@ def run_pipeline(
 
     manifests = {
         name: read_manifest(os.path.join(checkpoint_dir, name))
-        for name in ("sentences", "canon_map", "linked_votes", "candidates", "triples")
+        for name in (
+            "sentences", "votes", "canon_map", "linked_votes", "candidates", "triples"
+        )
     }
     return {"triples": triples, "manifests": manifests}

@@ -188,6 +188,98 @@ def test_pr_auc_hand_fixture(spark):
     assert abs(row["best_f1"] - (2 * 0.75 * (2 / 3) / (0.75 + 2 / 3))) < 1e-5
 
 
+# ---------------------------------------------------------------- round 3
+
+
+def test_same_entity_blocking_hot_block_capped(spark):
+    """VERDICT r2 #2: a hot blocking key ('smith:j' on real name
+    distributions) must not go quadratic. 420 same-prefix surfaces share
+    base AND extended keys, so they hit the sorted-neighborhood tier:
+    pair volume <= n * neighborhood, not n^2/2."""
+    from stanford_relation_extractor_spark.operators.canonicalize import (
+        blocked_candidate_pairs,
+        same_entity_edges,
+    )
+
+    n, cap, k = 420, 50, 4
+    hot = [(f"John{i:03d} Smith", "PERSON") for i in range(n)]
+    cold = [("Acme Corp", "ORGANIZATION"), ("Acme Corporation", "ORGANIZATION")]
+    ents = spark.createDataFrame(hot + cold, "entity_name string, entity_type string")
+
+    pairs = blocked_candidate_pairs(ents, max_block=cap, neighborhood=k)
+    n_pairs = pairs.count()
+    assert 0 < n_pairs <= n * k + 1  # +1 for the cold Acme pair
+    # the cold block is untouched by the cap: full pairing finds Acme
+    edges = {(r["src"], r["dst"]) for r in same_entity_edges(
+        ents, max_block=cap, neighborhood=k
+    ).collect()}
+    assert ("Acme Corp", "Acme Corporation") in edges
+    # adjacent near-typos in the hot block are still judged (and merge:
+    # edit distance 1 on the normalized form)
+    assert ("John000 Smith", "John001 Smith") in edges
+
+
+def test_same_entity_blocking_cold_path_unchanged(spark):
+    """Below the cap the full within-block pairing is preserved — the
+    flagship corpus never hits the hot tier, so canonical_map semantics
+    are bit-identical to round 2."""
+    from stanford_relation_extractor_spark.operators.canonicalize import (
+        blocked_candidate_pairs,
+    )
+
+    ents = spark.createDataFrame(
+        [("Jane Smith", "PERSON"), ("J. Smith", "PERSON"), ("Jim Smith", "PERSON")],
+        "entity_name string, entity_type string",
+    )
+    got = {(r["src"], r["dst"]) for r in blocked_candidate_pairs(ents).collect()}
+    assert got == {
+        ("J. Smith", "Jane Smith"),
+        ("J. Smith", "Jim Smith"),
+        ("Jane Smith", "Jim Smith"),
+    }
+
+
+def test_statistical_memo_bounded(monkeypatch):
+    """VERDICT r2 #3: the per-task feature-tuple memo must not grow with
+    the number of distinct sentence shapes."""
+    from stanford_relation_extractor_spark.operators import extractors
+
+    monkeypatch.setattr(extractors, "STATISTICAL_MEMO_CAP", 8)
+    stat = extractors._stat_context()
+    pbank = extractors._compiled_pattern_bank()
+    tbank = extractors._compiled_trigger_bank()
+    for i in range(50):
+        filler = " ".join(f"w{i}x{j}" for j in range(3))
+        sent = f"Alice {filler} works for Acme ."
+        mentions = [
+            {"surface": "Alice", "ner": "PERSON", "begin": 0, "end": 5},
+            {
+                "surface": "Acme",
+                "ner": "ORGANIZATION",
+                "begin": sent.index("Acme"),
+                "end": sent.index("Acme") + 4,
+            },
+        ]
+        extractors.votes_for_sentence(sent, mentions, pbank, tbank, stat)
+    assert 0 < len(stat[2]) <= 8
+
+
+def test_spool_dirs_cleaned(spark):
+    """VERDICT r2 #4: _parquet_spool scratch is registered and reaped."""
+    import os
+
+    from stanford_relation_extractor_spark.plans import pipeline as P
+
+    df = spark.range(3)
+    out = P._parquet_spool(df, spark, "testspool")
+    assert out.count() == 3
+    d = P._SPOOL_DIRS[-1]
+    assert os.path.isdir(d)
+    P._cleanup_spools()
+    assert not os.path.isdir(d)
+    assert not P._SPOOL_DIRS
+
+
 def test_miml_train_em_flips_ambiguous_mention(spark):
     """Hand-computed hard-EM fixture (A7): bag (E,S) is labeled rel_R
     with one good-context and one bad-context mention; a NIL bag shares
