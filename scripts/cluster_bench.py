@@ -4,8 +4,13 @@ Brings up a Spark STANDALONE cluster on this host (master + one 32-core
 worker), then runs the full KG pipeline as a submitted application at
 two cluster sizes:
 
-    N  executors: 1 executor  x 8 cores (spark.cores.max = 8)
-    4N executors: 4 executors x 8 cores (spark.cores.max = 32)
+    N  executors: 1 executor  x C cores (spark.cores.max = C)
+    4N executors: 4 executors x C cores (spark.cores.max = 4C)
+
+C defaults to 8 (saturating the 32-core host at the 4N level — the
+oversubscribed data point); --cores=4 measures 1x4 vs 4x4, where the
+4N level still fits the host alongside driver/daemons/Python workers —
+the cluster-scaling data point a real (not single-host) cluster shows.
 
 Each executor is its own JVM with its own heap, GC, shuffle files and
 Python workers — the per-executor costs that a single shared local[n]
@@ -14,7 +19,7 @@ boundaries over loopback. Efficiency = throughput(4N) / (4 x
 throughput(N)); best-of-`--runs` per level inside one long-lived
 application (a cluster job does not pay JIT warm-up per batch).
 
-Usage: python scripts/cluster_bench.py [sf_dir] [--factor=K] [--runs=R]
+Usage: python scripts/cluster_bench.py [sf_dir] [--factor=K] [--runs=R] [--cores=C]
 Writes one JSON line; BENCH/BASELINE.md records the analysis.
 """
 
@@ -37,13 +42,19 @@ sys.path.insert(0, {repo!r})
 from pyspark.sql import SparkSession, functions as F
 
 n_exec = {n_exec}
+cores = {cores}
 spark = (
     SparkSession.builder.master({master!r})
-    .appName(f"cluster_bench_{{n_exec}}x8")
-    .config("spark.executor.cores", "8")
+    .appName(f"cluster_bench_{{n_exec}}x{{cores}}")
+    .config("spark.executor.cores", str(cores))
     .config("spark.executor.memory", "18g")
-    .config("spark.cores.max", str(8 * n_exec))
-    .config("spark.sql.shuffle.partitions", str(8 * n_exec))
+    .config("spark.cores.max", str(cores * n_exec))
+    .config("spark.sql.shuffle.partitions", str(2 * cores * n_exec))
+    # the vote spool lands as many small snappy files; the default 128MB
+    # maxPartitionBytes coalesces them into ~13 scan tasks — starving 32
+    # cores on the ensemble scan (measured tail scaling 0.53). 16MB keeps
+    # every slot fed at both cluster sizes.
+    .config("spark.sql.files.maxPartitionBytes", "16m")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -58,15 +69,25 @@ spark.sparkContext.addPyFile({zip_path!r})
 
 from stanford_relation_extractor_spark.plans.pipeline import build_stages
 
-inp = spark.read.parquet({amp_path!r}).repartition(8 * n_exec * 3)
+inp = spark.read.parquet({amp_path!r}).repartition(cores * n_exec * 3)
 n = inp.count()
-times = []
+times, stage_times = [], []
 for _ in range({runs}):
     t0 = time.monotonic()
-    build_stages(spark, {sf_dir!r}, transcripts=inp)["triples"] \
-        .write.format("noop").mode("overwrite").save()
+    stages = build_stages(spark, {sf_dir!r}, transcripts=inp)
+    stages["votes_cut"]                      # materializes the vote spool
+    t_extract = round(time.monotonic() - t0, 3)
+    c0 = time.monotonic()
+    stages["canon_map"]                      # surfaces cut + canon jobs
+    t_canon = round(time.monotonic() - c0, 3)
+    e0 = time.monotonic()
+    stages["triples"].write.format("noop").mode("overwrite").save()
+    t_tail = round(time.monotonic() - e0, 3)
     times.append(round(time.monotonic() - t0, 3))
-print(json.dumps({{"n_exec": n_exec, "turns": n, "times": times, "sec": min(times)}}))
+    stage_times.append({{"extract_spool": t_extract, "canon": t_canon,
+                         "ensemble_tail": t_tail}})
+print(json.dumps({{"n_exec": n_exec, "turns": n, "times": times,
+                   "sec": min(times), "stages": stage_times}}))
 spark.stop()
 """
 
@@ -136,10 +157,12 @@ reps = spark.range({factor}).select(F.col("id").alias("_rep"))
     return amp_path
 
 
-def run_level(n_exec: int, sf_dir: str, amp_path: str, zip_path: str, runs: int) -> dict:
+def run_level(
+    n_exec: int, sf_dir: str, amp_path: str, zip_path: str, runs: int, cores: int
+) -> dict:
     code = CHILD.format(
         repo=REPO, n_exec=n_exec, master=MASTER, zip_path=zip_path,
-        amp_path=amp_path, sf_dir=sf_dir, runs=runs,
+        amp_path=amp_path, sf_dir=sf_dir, runs=runs, cores=cores,
     )
     env = dict(os.environ)
     env["PYSPARK_PYTHON"] = sys.executable
@@ -159,12 +182,13 @@ def main() -> None:
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     factor = int(next((a.split("=")[1] for a in sys.argv if a.startswith("--factor=")), 16))
     runs = int(next((a.split("=")[1] for a in sys.argv if a.startswith("--runs=")), 3))
+    cores = int(next((a.split("=")[1] for a in sys.argv if a.startswith("--cores=")), 8))
     amp_path = amplify(sf_dir, factor)
     zip_path = build_zip()
     ensure_cluster()
     try:
-        lo = run_level(1, sf_dir, amp_path, zip_path, runs)
-        hi = run_level(4, sf_dir, amp_path, zip_path, runs)
+        lo = run_level(1, sf_dir, amp_path, zip_path, runs, cores)
+        hi = run_level(4, sf_dir, amp_path, zip_path, runs, cores)
     finally:
         stop_cluster()
     thr_lo = lo["turns"] / lo["sec"]
@@ -176,10 +200,12 @@ def main() -> None:
         "amplify_factor": factor,
         "executors_n": 1,
         "executors_4n": 4,
-        "executor_cores": 8,
+        "executor_cores": cores,
         "turns": lo["turns"],
         "times_at_n": lo["times"],
         "times_at_4n": hi["times"],
+        "stages_at_n": lo.get("stages"),
+        "stages_at_4n": hi.get("stages"),
         "sec_at_n": lo["sec"],
         "sec_at_4n": hi["sec"],
         "turns_per_sec_at_n": round(thr_lo, 1),

@@ -9,11 +9,16 @@ MIML EM), Spark-first:
   A8 count-thresholded (>=5);
 * seed KB: the synthetic corpus's planted pattern/trigger assertions
   (sources/oracle_rules.py) — the stand-in for the reference's KB TSV;
-* training: statistical.miml_train — distributed hard-EM over
+* training: statistical.miml_train — distributed soft-EM over
   (entity, slot) bags with at-least-once pinning; mentions of unlabeled
-  bags train the NIL class;
+  bags train the NIL class. The reference wraps JointBayes in
+  BAGGING-resampled folds (`classify/EnsembleRelationExtractor.java:155-252`,
+  defaults `common/Props.java:308-312`): we train N_BAGS bootstrap
+  models on deterministic ~75% bag subsamples (hash-mod, reproducible —
+  no RNG) whose scores noisy-or at inference
+  (statistical.combined_relation_probs);
 * output: stanford_relation_extractor_spark/models/frozen_statistical.py
-  — a literal weight table, committed so engine inference and the
+  — literal weight tables, committed so engine inference and the
   DuckDB oracle score against identical numbers.
 
 Usage: python scripts/train_statistical.py [sf_dir] [epochs]
@@ -46,6 +51,7 @@ def main() -> None:
     from stanford_relation_extractor_spark.session import get_spark
     from stanford_relation_extractor_spark.sources.oracle_rules import (
         PATTERN_VOTES,
+        TB_ANTE_CTE,
         TRIGGER_VOTES,
     )
     from stanford_relation_extractor_spark.sources.synthetic import (
@@ -65,38 +71,59 @@ def main() -> None:
     branches = []
     for k in sorted(PATTERN_VOTES):
         for ecol, scol, rel in sorted(set(PATTERN_VOTES[k]) | set(TRIGGER_VOTES[k])):
+            # J2-resolved votes (k20 pronoun) live on the tb_ante view
+            table, extra = "turns_base", ""
+            if "antecedent" in (ecol, scol):
+                table, extra = "tb_ante", " AND antecedent IS NOT NULL"
             branches.append(
                 f"SELECT DISTINCT {ecol} AS entity_name, '{rel}' AS relation, "
-                f"{scol} AS slot_value FROM turns_base WHERE k = {k}"
+                f"{scol} AS slot_value FROM {table} WHERE k = {k}{extra}"
             )
-    kb = spark.sql(oracle_query("\nUNION\n".join(branches)))
+    kb = spark.sql(
+        oracle_query(TB_ANTE_CTE + "\n" + "\nUNION\n".join(branches))
+    ).localCheckpoint(eager=True)  # reused by every fold's filter
+    from pyspark.sql import functions as F
 
-    weights = miml_train(feats, kb, epochs=epochs)
-    by_feature: dict[str, dict[str, float]] = {}
-    for r in weights.collect():
-        by_feature.setdefault(r["feature"], {})[r["relation"]] = r["weight"]
+    N_BAGS = 7  # train.ensemble.numcomponents default, Props.java:308-312
+    tables: list[dict[str, dict[str, float]]] = []
+    for b in range(N_BAGS):
+        # deterministic ~75% bag subsample per fold (bagging stand-in:
+        # hash-mod instead of resampling-with-replacement — reproducible)
+        keep = F.pmod(F.hash("entity_name", "slot_value", F.lit(b)), F.lit(4)) != 0
+        weights = miml_train(
+            feats.filter(keep), kb.filter(keep), epochs=epochs, mode="soft"
+        )
+        by_feature: dict[str, dict[str, float]] = {}
+        for r in weights.collect():
+            by_feature.setdefault(r["feature"], {})[r["relation"]] = r["weight"]
+        tables.append(by_feature)
+        print(f"fold {b}: {len(by_feature)} features")
 
     lines = [
         '"""Frozen statistical ensemble member (generated — do not edit).',
         "",
-        f"Trained by scripts/train_statistical.py on {sf_dir} with",
-        f"{epochs} MIML-lite hard-EM epochs over distant-supervision bags;",
-        "feature count threshold 5 (A8). Inference: sum weights over the",
-        "masked pair features, softmax over sorted relations + NIL",
-        "(statistical.softmax_scores), emit type-admissible relations with",
-        'p >= extractors.STATISTICAL_MIN_PROB."""',
+        f"Trained by scripts/train_statistical.py on {sf_dir}:",
+        f"{N_BAGS} BAGGING folds (deterministic 75% bag subsamples) x",
+        f"{epochs} MIML soft-EM epochs over distant-supervision bags;",
+        "feature count threshold 5 (A8). Inference: per fold, sum weights",
+        "over the masked pair features and softmax over sorted relations",
+        "+ NIL; noisy-or the folds (statistical.combined_relation_probs);",
+        'emit type-admissible relations with p >= STATISTICAL_MIN_PROB."""',
         "",
-        "WEIGHTS: dict[str, dict[str, float]] = {",
+        "BAG_WEIGHTS: list[dict[str, dict[str, float]]] = [",
     ]
-    for f in sorted(by_feature):
-        inner = ", ".join(
-            f"{rel!r}: {w!r}" for rel, w in sorted(by_feature[f].items())
-        )
-        lines.append(f"    {f!r}: {{{inner}}},")
-    lines.append("}")
+    for by_feature in tables:
+        lines.append("    {")
+        for f in sorted(by_feature):
+            inner = ", ".join(
+                f"{rel!r}: {w!r}" for rel, w in sorted(by_feature[f].items())
+            )
+            lines.append(f"        {f!r}: {{{inner}}},")
+        lines.append("    },")
+    lines.append("]")
     with open(OUT_PATH, "w") as fh:
         fh.write("\n".join(lines) + "\n")
-    print(f"wrote {len(by_feature)} features to {OUT_PATH}")
+    print(f"wrote {N_BAGS} folds to {OUT_PATH}")
 
 
 if __name__ == "__main__":

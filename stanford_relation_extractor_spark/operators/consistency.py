@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..ontology import GLOBAL_SCORE_THRESHOLD, incompatible_pairs, relation_schema_df
+from ..ontology import (
+    GLOBAL_SCORE_THRESHOLD,
+    PER_RELATION_THRESHOLDS,
+    incompatible_pairs,
+    relation_schema_df,
+)
 
 
 def type_check(triples: DataFrame, spark: SparkSession) -> DataFrame:
@@ -45,9 +50,29 @@ def type_check(triples: DataFrame, spark: SparkSession) -> DataFrame:
     )
 
 
-def threshold_filter(triples: DataFrame, threshold: float = GLOBAL_SCORE_THRESHOLD) -> DataFrame:
-    """P7: drop slots scored below the global threshold."""
-    return triples.filter(F.col("score") >= F.lit(threshold))
+def threshold_filter(
+    triples: DataFrame,
+    threshold: float = GLOBAL_SCORE_THRESHOLD,
+    per_relation: dict[str, float] | None = None,
+) -> DataFrame:
+    """P7: drop slots scored below their relation's threshold.
+
+    FIXED_PER_RELATION semantics (KBPEvaluator.java:266-272): the
+    per-relation table overrides the global floor where present. The
+    table rides the plan as a map LITERAL (41 keys max) — a coalesce
+    over a map lookup, no join, stays in whole-stage codegen.
+    """
+    table = PER_RELATION_THRESHOLDS if per_relation is None else per_relation
+    if not table:
+        return triples.filter(F.col("score") >= F.lit(threshold))
+    flat: list = []
+    for rel in sorted(table):
+        flat.append(F.lit(rel))
+        flat.append(F.lit(table[rel]))
+    floor = F.coalesce(
+        F.create_map(*flat).getItem(F.col("relation")), F.lit(threshold)
+    )
+    return triples.filter(F.col("score") >= floor)
 
 
 def dedup_exact(triples: DataFrame) -> DataFrame:

@@ -70,15 +70,16 @@ STATISTICAL_MIN_PROB = 0.2
 STATISTICAL_MEMO_CAP = 1 << 16
 
 
-def _stat_context() -> tuple[dict, list[str], dict]:
-    """(frozen weight table, softmax support, per-executor memo). The
-    model is trained offline by scripts/train_statistical.py (MIML-lite
-    hard-EM over distant-supervision bags) and frozen as data — the
+def _stat_context() -> tuple[list[dict], list[str], dict]:
+    """(frozen bagged weight tables, softmax support, per-executor
+    memo). The models are trained offline by
+    scripts/train_statistical.py (MIML soft-EM over distant-supervision
+    bags, BAGGING-resampled folds) and frozen as data — the
     inference-time contract the oracle mirrors."""
-    from ..models.frozen_statistical import WEIGHTS
+    from ..models.frozen_statistical import BAG_WEIGHTS
     from .statistical import softmax_relations
 
-    return (WEIGHTS, softmax_relations(), {})
+    return (BAG_WEIGHTS, softmax_relations(), {})
 
 _TOP_TITLE = (
     r"(?:president|chairman|chairwoman|minister|executive|chief|ceo|director|"
@@ -373,13 +374,15 @@ def votes_for_sentence(
             # memo keys on the feature tuple — template-shaped corpora
             # hit it almost always, so scoring is amortized O(1)/pair.
             if stat is not None:
-                weights, softmax_support, memo = stat
-                from .statistical import pair_feature_list, softmax_scores
+                bag_weights, softmax_support, memo = stat
+                from .statistical import combined_relation_probs, pair_feature_list
 
                 feats = tuple(pair_feature_list(sent, mentions, ent, slot))
                 probs = memo.get(feats)
                 if probs is None:
-                    full = softmax_scores(list(feats), weights, softmax_support)
+                    full = combined_relation_probs(
+                        list(feats), bag_weights, softmax_support
+                    )
                     probs = {
                         rel: round(p, 6)
                         for rel, p in full.items()

@@ -144,6 +144,33 @@ def softmax_scores(
     return {rel: exps[i] / tot for i, rel in enumerate(relations)}
 
 
+def combined_relation_probs(
+    feats: list[str],
+    bag_weights: list[dict[str, dict[str, float]]],
+    relations: list[str],
+    gamma: float = 1.0,
+) -> dict[str, float]:
+    """Per-relation probability of the BAGGED statistical member: each
+    bootstrap model scores the pair (softmax), the per-relation
+    probabilities combine by noisy-or — the reference's
+    `EnsembleRelationExtractor` combination (`:293`) over the
+    BAGGING-resampled models its `generateSamples` trains (`:155-252`,
+    defaults `common/Props.java:308-312`). Deterministic: bags iterate
+    in list order, relations in support order — the oracle re-derives
+    the identical floats."""
+    if len(bag_weights) == 1:
+        return softmax_scores(feats, bag_weights[0], relations, gamma)
+    acc = {rel: 1.0 for rel in relations}
+    for w in bag_weights:
+        p = softmax_scores(feats, w, relations, gamma)
+        for rel in relations:
+            acc[rel] *= 1.0 - p[rel]
+    # strict cap below 1: a 7-fold consensus can noisy-or to 1-1e-10,
+    # which 6-digit rounding turns into an exact 1.0 — degenerate for
+    # every downstream noisy-or (and the oracle's log-product form)
+    return {rel: min(1.0 - acc[rel], 0.999999) for rel in relations}
+
+
 def featurize_pairs(
     votes_or_pairs: DataFrame,
     sentences: DataFrame,
@@ -245,7 +272,11 @@ def training_labels(
     return pos.unionByName(neg, allowMissingColumns=True)
 
 
-def train_weights_df(labeled_features: DataFrame, smoothing: float = 0.5) -> DataFrame:
+def train_weights_df(
+    labeled_features: DataFrame,
+    smoothing: float = 0.5,
+    weight_col: str | None = None,
+) -> DataFrame:
     """(feature, relation, weight) log-odds table, fully distributed.
 
     One hash aggregation on (feature, relation) + a window over feature
@@ -254,11 +285,15 @@ def train_weights_df(labeled_features: DataFrame, smoothing: float = 0.5) -> Dat
     a 100 TB scale-killer: the pre-threshold feature vocabulary is
     unbounded). Apply ``feature_count_filter`` (A8) upstream and
     ``top_k_weights`` downstream before broadcasting.
+
+    With ``weight_col`` the counts are fractional — each row contributes
+    its posterior mass instead of 1 (the soft-EM M-step).
     """
     from pyspark.sql import Window
 
+    n_expr = F.count("*") if weight_col is None else F.sum(weight_col)
     counts = labeled_features.groupBy("feature", "relation").agg(
-        F.count("*").alias("n")
+        n_expr.alias("n")
     )
     total = F.sum("n").over(Window.partitionBy("feature"))
     return counts.select(
@@ -325,8 +360,9 @@ def miml_train(
     bag_labels: DataFrame,
     epochs: int = 2,
     smoothing: float = 0.5,
+    mode: str = "hard",
 ) -> DataFrame:
-    """A7 — MIML-lite bag-level training, the hard-EM shape of
+    """A7 — MIML-lite bag-level training, the EM shape of
     `classify/JointBayesRelationExtractor.java:429-560` (z-labels per
     mention, y-labels per bag) re-expressed as DataFrame rounds:
 
@@ -338,11 +374,16 @@ def miml_train(
       datums).
     * E-step: re-score every mention against the current weight table
       (join on feature — never a driver collect), restrict candidates
-      to the bag's labels ∪ {NIL}, take the argmax z per mention —
-      EXCEPT that each (bag, positive label) keeps its best-scoring
-      mention on that label (the at-least-once constraint,
+      to the bag's labels ∪ {NIL}. ``mode="hard"`` takes the argmax z
+      per mention; ``mode="soft"`` keeps the FULL posterior over the
+      candidate set (softmax of the linear scores — the
+      posterior-weighted inner loop of JointBayes's EM rather than its
+      Viterbi approximation). In both modes each (bag, positive label)
+      pins its best-scoring mention to that label with mass 1 (the
+      at-least-once constraint,
       `JointBayesRelationExtractor.java:1500-1560` y-aggregation).
-    * M-step: refit the log-odds table from (feature, z).
+    * M-step: refit the log-odds table from (feature, z) — counts in
+      hard mode, posterior mass in soft mode.
 
     Everything is joins/windows/aggregations over DataFrames; the model
     never leaves the cluster. Returns the final (feature, relation,
@@ -350,19 +391,29 @@ def miml_train(
     """
     from pyspark.sql import Window
 
+    if mode not in ("hard", "soft"):
+        raise ValueError(f"unknown miml_train mode {mode!r}")
+
     mentions = features.select(*MENTION_KEY).distinct()
     labels = bag_labels.select(*BAG_KEY, "relation").distinct()
 
-    def refit(assign: DataFrame) -> DataFrame:
-        labeled = features.join(assign, MENTION_KEY).select(
-            "feature", F.col("z").alias("relation")
+    def refit(assign: DataFrame, weighted: bool) -> DataFrame:
+        cols = ["feature", F.col("z").alias("relation")]
+        if weighted:
+            cols.append("wt")
+        labeled = features.join(assign, MENTION_KEY).select(*cols)
+        return train_weights_df(
+            labeled, smoothing, weight_col="wt" if weighted else None
         )
-        return train_weights_df(labeled, smoothing)
 
     init = mentions.join(labels, BAG_KEY, "left").select(
         *MENTION_KEY, F.coalesce(F.col("relation"), F.lit(NIL)).alias("z")
     )
-    weights = refit(init)
+    # the weight table is tiny (post-A8 features x relations) but its
+    # lineage doubles per epoch (scores join the previous round's
+    # weights); one eager cut per round keeps the final collect from
+    # replaying the whole EM history
+    weights = refit(init, weighted=False).localCheckpoint(eager=True)
 
     tie_order = [F.col(c).asc() for c in MENTION_KEY]
     for _ in range(epochs):
@@ -390,19 +441,34 @@ def miml_train(
             .filter(F.col("_rn") == 1)
             .select(*MENTION_KEY, F.col("relation").alias("z"))
         )
-        # argmax z for every other mention (NIL admissible)
-        w_m = Window.partitionBy(*MENTION_KEY).orderBy(
-            F.col("s").desc(), F.col("relation").asc()
-        )
-        argmax = (
-            cscored.withColumn("_rn", F.row_number().over(w_m))
-            .filter(F.col("_rn") == 1)
-            .select(*MENTION_KEY, F.col("relation").alias("z"))
-        )
-        rest = argmax.join(
-            forced.select(*MENTION_KEY).distinct(), MENTION_KEY, "left_anti"
-        )
-        weights = refit(forced.unionByName(rest))
+        if mode == "hard":
+            # argmax z for every other mention (NIL admissible)
+            w_m = Window.partitionBy(*MENTION_KEY).orderBy(
+                F.col("s").desc(), F.col("relation").asc()
+            )
+            argmax = (
+                cscored.withColumn("_rn", F.row_number().over(w_m))
+                .filter(F.col("_rn") == 1)
+                .select(*MENTION_KEY, F.col("relation").alias("z"))
+            )
+            rest = argmax.join(
+                forced.select(*MENTION_KEY).distinct(), MENTION_KEY, "left_anti"
+            )
+            weights = refit(forced.unionByName(rest), weighted=False).localCheckpoint(
+                eager=True
+            )
+        else:
+            # soft posterior over the candidate set: softmax of the
+            # linear scores within each mention's window
+            w_m_all = Window.partitionBy(*MENTION_KEY)
+            soft = cscored.withColumn(
+                "_e", F.exp(F.col("s") - F.max("s").over(w_m_all))
+            ).withColumn("wt", F.col("_e") / F.sum("_e").over(w_m_all))
+            rest = soft.join(
+                forced.select(*MENTION_KEY).distinct(), MENTION_KEY, "left_anti"
+            ).select(*MENTION_KEY, F.col("relation").alias("z"), "wt")
+            assign = forced.withColumn("wt", F.lit(1.0)).unionByName(rest)
+            weights = refit(assign, weighted=True).localCheckpoint(eager=True)
     return weights
 
 

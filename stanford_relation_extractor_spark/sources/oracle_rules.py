@@ -227,12 +227,12 @@ def statistical_votes(k: int) -> list[tuple[str, str, str, float]]:
     shared spec functions (statistical.features_from_between /
     softmax_scores) over oracle-owned inputs — the engine's featurizer
     runs over real sentences; any divergence hash-mismatches."""
-    from ..models.frozen_statistical import WEIGHTS
+    from ..models.frozen_statistical import BAG_WEIGHTS
     from ..operators.extractors import STATISTICAL_MIN_PROB
     from ..operators.statistical import (
+        combined_relation_probs,
         features_from_between,
         softmax_relations,
-        softmax_scores,
     )
 
     shape = TEMPLATE_SHAPE[k]
@@ -257,7 +257,7 @@ def statistical_votes(k: int) -> list[tuple[str, str, str, float]]:
                 for t in shape[lo:hi]
             ]
             feats = features_from_between(order, ener, sner, between)
-            probs = softmax_scores(feats, WEIGHTS, support)
+            probs = combined_relation_probs(feats, BAG_WEIGHTS, support)
             for rel in rels:
                 p = probs[rel]
                 if p >= STATISTICAL_MIN_PROB:
@@ -604,6 +604,21 @@ def _allowed_pairs_values() -> str:
     return ", ".join(sorted(rows))
 
 
+def threshold_pred_sql(threshold: float = 0.5) -> str:
+    """P7 FIXED_PER_RELATION accept predicate (KBPEvaluator.java:266-272):
+    per-relation floors from the shared ontology table, global fallback —
+    the SQL twin of consistency.threshold_filter's map-literal coalesce."""
+    from ..ontology import PER_RELATION_THRESHOLDS
+
+    if not PER_RELATION_THRESHOLDS:
+        return f"score >= {threshold!r}"
+    whens = " ".join(
+        f"WHEN '{rel}' THEN {PER_RELATION_THRESHOLDS[rel]!r}"
+        for rel in sorted(PER_RELATION_THRESHOLDS)
+    )
+    return f"score >= (CASE relation {whens} ELSE {threshold!r} END)"
+
+
 def _final_body(threshold: float = 0.5) -> str:
     """CTE chain ending in ``final_out`` — the consistency battery:
     ensemble -> threshold (P7) -> SINGLE-cardinality top-1 (W2/W4) ->
@@ -617,7 +632,7 @@ def _final_body(threshold: float = 0.5) -> str:
   -- conform_to_guidelines): invalid titles / top-employees / org alt
   -- names, DATE slot shape, org:website token-stem relatedness
   SELECT entity_name, entity_type, relation, slot_value, slot_ner, n_agree, score
-  FROM ens WHERE score >= {threshold!r}
+  FROM ens WHERE {threshold_pred_sql(threshold)}
     AND {conform_pred_sql()}
 ){_ALT_NAMES_CTE}
 , base2 AS (

@@ -36,13 +36,17 @@ def test_type_check_rejects_bad_signature(spark):
 
 
 def test_threshold_is_inclusive(spark):
+    # per:spouse has no per-relation floor -> global 0.5, inclusive;
+    # per:age's per-relation floor (0.96) is inclusive at its boundary
     df = _triples(
         spark,
-        [("E", "PERSON", "per:age", "34", "NUMBER", 1, 0.5),
-         ("E", "PERSON", "per:age", "35", "NUMBER", 1, 0.499999)],
+        [("E", "PERSON", "per:spouse", "S1", "PERSON", 1, 0.5),
+         ("E", "PERSON", "per:spouse", "S2", "PERSON", 1, 0.499999),
+         ("E", "PERSON", "per:age", "34", "NUMBER", 1, 0.96),
+         ("E", "PERSON", "per:age", "35", "NUMBER", 1, 0.959999)],
     )
     vals = {r["slot_value"] for r in threshold_filter(df).collect()}
-    assert vals == {"34"}
+    assert vals == {"S1", "34"}
 
 
 def test_single_cardinality_top1_with_tiebreak(spark):
@@ -75,7 +79,7 @@ def test_dedup_exact_keeps_best_provenance(spark):
 
 def test_full_battery_composes(spark):
     rows = [
-        ("E", "PERSON", "per:age", "34", "NUMBER", 2, 0.95),
+        ("E", "PERSON", "per:age", "34", "NUMBER", 2, 0.97),  # above the 0.96 floor
         ("E", "PERSON", "per:age", "99", "NUMBER", 1, 0.4),  # below threshold
         ("E", "PERSON", "per:title", "president", "TITLE", 2, 0.99),
     ]

@@ -280,6 +280,60 @@ def test_spool_dirs_cleaned(spark):
     assert not P._SPOOL_DIRS
 
 
+def test_per_relation_threshold_binds(spark):
+    """P7 FIXED_PER_RELATION (KBPEvaluator.java:266-272): listed
+    relations carry their own floor, others fall back to the global
+    0.5."""
+    from stanford_relation_extractor_spark.operators.consistency import (
+        threshold_filter,
+    )
+
+    rows = [
+        ("E", "PERSON", "per:age", "44", "NUMBER", 2, 0.94),      # below 0.96 floor
+        ("E", "PERSON", "per:age", "45", "NUMBER", 3, 0.97),      # above
+        ("E", "PERSON", "per:spouse", "S", "PERSON", 2, 0.94),    # global 0.5 only
+        ("E", "PERSON", "per:siblings", "T", "PERSON", 1, 0.4),   # below global
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "entity_name string, entity_type string, relation string, "
+        "slot_value string, slot_ner string, n_agree int, score double",
+    )
+    kept = {(r["relation"], r["slot_value"]) for r in threshold_filter(df).collect()}
+    assert kept == {("per:age", "45"), ("per:spouse", "S")}
+
+
+def test_ensemble_two_phase_matches_single_phase(spark):
+    """pre_aggregate_votes + combine_votes(pre_aggregated=True) is
+    bit-identical to the single-phase aggregation (max of maxes, min of
+    mins)."""
+    from stanford_relation_extractor_spark.operators.ensemble import (
+        combine_votes,
+        pre_aggregate_votes,
+    )
+
+    rows = []
+    for i, (ex, sc) in enumerate(
+        [("pattern", 0.9), ("trigger", 0.8), ("window", 0.1), ("pattern", 0.85)]
+    ):
+        rows.append(("c1", i, 0, "E", "PERSON", 0, 5, "S", "NUMBER", 10, 12,
+                     "per:age", ex, sc))
+    rows.append(("c2", 0, 1, "E2", "PERSON", 0, 5, "S2", "NUMBER", 10, 12,
+                 "per:age", "pattern", 0.9))
+    votes = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, sent_idx int, entity_name string, "
+        "entity_type string, entity_begin int, entity_end int, slot_value string, "
+        "slot_ner string, slot_begin int, slot_end int, relation string, "
+        "extractor string, score double",
+    )
+    one = sorted(map(tuple, combine_votes(votes, combination="AGREE_ANY").collect()))
+    two = sorted(map(tuple, combine_votes(
+        pre_aggregate_votes(votes), combination="AGREE_ANY", pre_aggregated=True
+    ).collect()))
+    assert one == two
+
+
 def test_miml_train_em_flips_ambiguous_mention(spark):
     """Hand-computed hard-EM fixture (A7): bag (E,S) is labeled rel_R
     with one good-context and one bad-context mention; a NIL bag shares
@@ -314,3 +368,57 @@ def test_miml_train_em_flips_ambiguous_mention(spark):
     assert w[("ctx_good", "rel_R")] == round(math.log(1.5 / 0.5), 6)
     assert w[("ctx_bad", "NIL")] == round(math.log(2.5 / 0.5), 6)
     assert ("ctx_bad", "rel_R") not in w
+
+
+def test_miml_train_soft_em_keeps_posterior_mass(spark):
+    """Soft EM on the same fixture: the ambiguous mention's posterior is
+    exactly (0.5 rel_R, 0.5 NIL) after round 0 (its scores tie at 0),
+    so unlike hard EM the refit keeps a FRACTIONAL rel_R weight on
+    ctx_bad: rel_R mass 0.5, NIL mass 1.5 of total 2.0 ->
+    w(ctx_bad, rel_R) = log((0.5+0.5)/(2.0-0.5+0.5)) = log(1/2)."""
+    import math
+
+    from stanford_relation_extractor_spark.operators.statistical import miml_train
+
+    mcols = (
+        "conv_id string, turn_idx int, sent_idx int, entity_name string, "
+        "entity_type string, slot_value string, slot_ner string, feature string"
+    )
+    features = spark.createDataFrame(
+        [
+            ("c1", 0, 0, "E", "PERSON", "S", "NUMBER", "ctx_good"),
+            ("c1", 1, 0, "E", "PERSON", "S", "NUMBER", "ctx_bad"),
+            ("c2", 0, 0, "X", "PERSON", "Y", "NUMBER", "ctx_bad"),
+        ],
+        mcols,
+    )
+    bag_labels = spark.createDataFrame(
+        [("E", "S", "rel_R")], "entity_name string, slot_value string, relation string"
+    )
+    w = {
+        (r["feature"], r["relation"]): r["weight"]
+        for r in miml_train(features, bag_labels, epochs=1, mode="soft").collect()
+    }
+    assert w[("ctx_good", "rel_R")] == round(math.log(1.5 / 0.5), 6)
+    assert w[("ctx_bad", "rel_R")] == round(math.log(0.5), 6)  # hard EM drops this
+    assert w[("ctx_bad", "NIL")] == round(math.log(2.0 / 1.0), 6)
+
+
+def test_combined_relation_probs_noisy_or():
+    """Two bagged models noisy-or per relation; a single model passes
+    through as a plain softmax."""
+    from stanford_relation_extractor_spark.operators.statistical import (
+        combined_relation_probs,
+        softmax_scores,
+    )
+
+    rels = ["r1", "r2"]
+    w1 = {"f": {"r1": 1.0}}
+    w2 = {"f": {"r2": 1.0}}
+    single = combined_relation_probs(["f"], [w1], rels)
+    assert single == softmax_scores(["f"], w1, rels)
+    both = combined_relation_probs(["f"], [w1, w2], rels)
+    p1 = softmax_scores(["f"], w1, rels)
+    p2 = softmax_scores(["f"], w2, rels)
+    for r in rels:
+        assert abs(both[r] - (1 - (1 - p1[r]) * (1 - p2[r]))) < 1e-12
