@@ -299,6 +299,23 @@ def _pr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr_score(stages["triples"], gold)
 
 
+def _gold_tab_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold-assessment format support (GoldResponseSet.grok2013): the
+    final PER fills format as 2013.tab lines and parse back — the
+    oracle derives the expected parse directly from the triple store,
+    so any formatter/parser drift hash-mismatches."""
+    from stanford_relation_extractor_spark.plans.pipeline import build_stages
+    from stanford_relation_extractor_spark.sources.goldtab import (
+        format_gold_tab,
+        parse_gold_tab,
+    )
+
+    triples = build_stages(spark, sf_dir)["triples"].filter(
+        F.col("relation").startswith("per:")
+    )
+    return parse_gold_tab(format_gold_tab(triples))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG-construction pipeline on sf0.001."""
     from stanford_relation_extractor_spark.plans.pipeline import final_triples
@@ -330,6 +347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_consistency": _geo_consistency,
         "inferred_triples": _inferred_triples,
         "pr_score": _pr_score,
+        "gold_tab_roundtrip": _gold_tab_roundtrip,
         **_datapipe_queries(),
     }
 
@@ -362,7 +380,10 @@ def _duckdb_materialize(sql: str) -> str:
     turns_base ~100x; inlining re-opens the parquet inputs per branch
     and exhausts file descriptors). DuckDB-only syntax — these strings
     are never run under Spark."""
-    for cte in ("turns_base", "alias_dict", "vsurf"):
+    for cte in (
+        "turns_base", "alias_dict", "vsurf",
+        "final_out", "inf1_raw", "inf1", "store2", "inf2_raw",
+    ):
         sql = sql.replace(f"{cte} AS (", f"{cte} AS MATERIALIZED (", 1)
     return sql
 
@@ -409,6 +430,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_consistency": orc.geo_consistency_sql(),
         "inferred_triples": orc.inferred_triples_sql(),
         "pr_score": orc.pr_score_sql(),
+        "gold_tab_roundtrip": orc.gold_tab_roundtrip_sql(),
         "wikidict_link": oracle_query_linking(
             """
 , wmentions AS (SELECT DISTINCT nickperson AS surface FROM turns_base),

@@ -27,7 +27,7 @@ from ..operators.canonicalize import (
     vote_surfaces,
 )
 from ..operators.consistency import apply_consistency
-from ..operators.ensemble import AGREE_MOST, combine_votes, pre_aggregate_votes
+from ..operators.ensemble import AGREE_MOST, combine_votes
 from ..operators.extractors import extract_votes, extract_votes_fused
 from ..operators.mentions import detect_mentions
 from ..sources.synthetic import (
@@ -73,46 +73,6 @@ def _parquet_spool(df: DataFrame, spark: SparkSession, name: str) -> DataFrame:
     _SPOOL_DIRS.append(d)
     df.write.mode("overwrite").parquet(d)
     return spark.read.parquet(d)
-
-
-def _candidates_two_phase(
-    stages: "LazyStages", spark: SparkSession, combination: str
-) -> DataFrame:
-    """Two-phase ensemble with canon overlap.
-
-    Phase 1 (``pre_aggregate_votes``) is the pipeline's biggest scan
-    and does NOT depend on the canon map, so it is materialized on a
-    background thread while the driver thread runs the
-    canonicalization's (serial, small-job) window — the two workloads
-    interleave on the executors instead of running back-to-back.
-    Phase 2 rewrites the tiny per-(raw triple, extractor) table to
-    canonical surfaces and recombines (max of maxes / min of mins —
-    bit-identical to aggregating the rewritten stream)."""
-    import threading
-
-    votes_cut = stages["votes_cut"]  # build on the driver thread
-    pre = pre_aggregate_votes(votes_cut)
-    result: dict[str, object] = {}
-
-    def run() -> None:
-        try:
-            result["df"] = _parquet_spool(pre, spark, "preagg")
-        except BaseException as e:  # noqa: BLE001 — surfaced on the main thread
-            result["err"] = e
-
-    th = threading.Thread(target=run, daemon=True)
-    th.start()
-    try:
-        canon_map = stages["canon_map"]  # canon jobs overlap phase 1
-    finally:
-        th.join()
-    if "err" in result:
-        raise result["err"]  # type: ignore[misc]
-    return combine_votes(
-        rewrite_votes(result["df"], canon_map),
-        combination=combination,
-        pre_aggregated=True,
-    )
 
 
 class LazyStages(dict):
@@ -170,8 +130,15 @@ def build_stages(
             stages["surfaces"], alias_dict_df(spark, sf_dir), NICKNAMES, CORP_SUFFIXES
         ),
         "linked_votes": lambda: rewrite_votes(stages["votes_cut"], stages["canon_map"]),
-        "candidates": lambda: _candidates_two_phase(
-            stages, spark, combination
+        # single-phase ensemble: the canonical rewrite is two broadcast
+        # hash joins riding the same codegen stage as the aggregation's
+        # map side — a measured two-phase variant (pre_aggregate_votes +
+        # recombine, optionally overlapping the canon window on a
+        # second job thread) saved nothing here and added a spool write
+        # plus scheduling nondeterminism; it remains available in
+        # operators/ensemble.py for canon maps too big to broadcast
+        "candidates": lambda: combine_votes(
+            stages["linked_votes"], combination=combination
         ),
         "alt_names": lambda: emit_alternate_names(
             stages["canon_map"], stages["surfaces"]

@@ -53,7 +53,13 @@ def duckdb_materialize(sql: str) -> str:
     turns_base ~100x; inlining re-opens the parquet inputs per branch
     and exhausts file descriptors). DuckDB-only syntax — never apply to
     SQL that also runs under Spark (transcripts_df & co)."""
-    for cte in ("turns_base", "alias_dict", "vsurf"):
+    for cte in (
+        "turns_base", "alias_dict", "vsurf",
+        # the inference oracle references final_out / its rule CTEs many
+        # times (self-joins + two chaining rounds) — re-inlining would
+        # re-run the whole consistency chain per reference
+        "final_out", "inf1_raw", "inf1", "store2", "inf2_raw",
+    ):
         sql = sql.replace(f"{cte} AS (", f"{cte} AS MATERIALIZED (", 1)
     return sql
 
@@ -84,6 +90,8 @@ TEMPLATE_MENTIONS: dict[int, list[tuple[str, str]]] = {
     18: [("org", "ORGANIZATION"), ("badsite", "URL")],
     19: [("person", "PERSON"), ("soctitle", "TITLE")],
     20: [("pron", "PRONOUN"), ("city", "CITY")],
+    # k21 (corpus v3): cataphoric pronoun — person FOLLOWS the pronoun
+    21: [("pron", "PRONOUN"), ("person", "PERSON")],
 }
 
 _NER_OF = {col: ner for ms in TEMPLATE_MENTIONS.values() for col, ner in ms}
@@ -156,6 +164,10 @@ PATTERN_VOTES: dict[int, list[tuple[str, str, str]]] = {
     19: [("person", "soctitle", "per:title")],
     # k20: pronoun subject — the vote's entity is the J2 antecedent
     20: [("antecedent", "city", "per:cities_of_residence")],
+    # k21: "greeted ... warmly" matches no pattern — window/statistical
+    # votes only, and the pronoun must NOT resolve to the in-sentence
+    # following person (cataphora; J2 uses the PRIOR antecedent)
+    21: [],
 }
 
 TRIGGER_VOTES: dict[int, list[tuple[str, str, str]]] = {
@@ -180,6 +192,7 @@ TRIGGER_VOTES: dict[int, list[tuple[str, str, str]]] = {
     18: [("org", "badsite", "org:website")],
     19: [("person", "soctitle", "per:title")],
     20: [("antecedent", "city", "per:cities_of_residence")],
+    21: [],
 }
 
 
@@ -217,6 +230,7 @@ TEMPLATE_SHAPE: dict[int, list] = {
     # the pronoun token occupies the entity position; features see the
     # resolved antecedent's TYPE only, never its surface
     20: [_c("antecedent"), "lives", "in", _c("city"), "."],
+    21: [_c("antecedent"), "greeted", _c("person"), "warmly", "."],
 }
 
 
@@ -300,11 +314,16 @@ def _vote_select(k: int, ecol: str, scol: str, rel: str, extractor: str, score: 
     table, extra = "turns_base", ""
     if "antecedent" in (ecol, scol):  # J2-resolved votes live on tb_ante
         table, extra = "tb_ante", " AND antecedent IS NOT NULL"
+    # universal self-fill guard (extractors.slot_sanity_ok: slot_value ==
+    # entity_name never votes) — binds on k21 when the pronoun's prior
+    # antecedent IS the in-sentence person (the common same-conversation
+    # case); vacuously true for all distinct-column pairs
+    self_fill = f" AND {ecol} <> {scol}" if ecol != scol else " AND false"
     return (
         f"SELECT conv_id, turn_idx, {ecol} AS entity_name, '{etype}' AS entity_type, "
         f"{scol} AS slot_value, '{sner}' AS slot_ner, '{rel}' AS relation, "
         f"'{extractor}' AS extractor, CAST({score!r} AS DOUBLE) AS score "
-        f"FROM {table} WHERE k = {k}{extra}{_sanity_pred(rel, scol)}"
+        f"FROM {table} WHERE k = {k}{extra}{self_fill}{_sanity_pred(rel, scol)}"
     )
 
 
@@ -437,12 +456,20 @@ def _canon_ctes() -> str:
     oracle deliberately omits it — any cascade edge beyond that is an
     engine bug this oracle would catch as a hash mismatch.
     """
+    # k21's only pairs are antecedent x person: when the resolved
+    # antecedent IS the in-sentence person every vote of the row is a
+    # self-fill (dropped by slot_sanity_ok), so NEITHER surface reaches
+    # the engine's vote stream — the surface branches carry the same
+    # survival guard
+    guards = {21: " AND antecedent IS NOT NULL AND antecedent <> person"}
     branches = [
         (
             f"SELECT DISTINCT antecedent AS surface FROM tb_ante "
-            f"WHERE k = {k} AND antecedent IS NOT NULL"
+            f"WHERE k = {k} AND antecedent IS NOT NULL{guards.get(k, '')}"
             if col == "antecedent"
-            else f"SELECT DISTINCT {col} AS surface FROM turns_base WHERE k = {k}"
+            else f"SELECT DISTINCT {col} AS surface FROM "
+            f"{'tb_ante' if k in guards else 'turns_base'} "
+            f"WHERE k = {k}{guards.get(k, '')}"
         )
         for k in sorted(TEMPLATE_MENTIONS)
         for col, _ner in _vote_surface_cols(k)
@@ -844,23 +871,20 @@ FROM nums
     return duckdb_materialize(oracle_query_linking(body, recursive=True))
 
 
-def inferred_triples_sql() -> str:
-    """Inferential-pipeline oracle (InferentialSlotFiller analog):
-    symmetric spouse, top-members inversion, gazetteer city->country
-    lifting over the final store; novel fills only."""
-    body = _final_body() + """
-, geo AS (
-  SELECT replace(n_name, ' ', '') || 'ville' AS city, n_name AS country FROM nation
-), inf_raw AS (
+def _mln_rules_sql(store: str) -> str:
+    """The DEFAULT_MLN rule set applied once over ``store`` — the SQL
+    twin of inference._apply_rule for each clause (conclusion score =
+    product of triple-antecedent scores x 0.9, rounded once)."""
+    return f"""
   SELECT slot_value AS entity_name, 'PERSON' AS entity_type,
          'per:spouse' AS relation, entity_name AS slot_value,
          'PERSON' AS slot_ner, round(score * 0.9, 6) AS score,
          'spouse_symmetry' AS rule
-  FROM final_out WHERE relation = 'per:spouse' AND slot_ner = 'PERSON'
+  FROM {store} WHERE relation = 'per:spouse' AND slot_ner = 'PERSON'
   UNION ALL
   SELECT slot_value, 'PERSON', 'per:employee_of', entity_name,
          'ORGANIZATION', round(score * 0.9, 6), 'top_members_inversion'
-  FROM final_out WHERE relation = 'org:top_members/employees' AND slot_ner = 'PERSON'
+  FROM {store} WHERE relation = 'org:top_members/employees' AND slot_ner = 'PERSON'
   UNION ALL
   SELECT f.entity_name, f.entity_type,
          CASE f.relation
@@ -869,25 +893,101 @@ def inferred_triples_sql() -> str:
            WHEN 'per:city_of_death' THEN 'per:country_of_death'
            ELSE 'org:country_of_headquarters' END,
          g.country, 'COUNTRY', round(f.score * 0.9, 6), 'geo_lift'
-  FROM final_out f JOIN geo g ON g.city = f.slot_value
+  FROM {store} f JOIN geo g ON g.city = f.slot_value
   WHERE f.relation IN ('per:cities_of_residence', 'per:city_of_birth',
                        'per:city_of_death', 'org:city_of_headquarters')
-), inf_novel AS (
-  SELECT * FROM inf_raw r
+    AND f.slot_ner = 'CITY'
+  UNION ALL
+  SELECT e.entity_name, 'PERSON', 'per:countries_of_residence',
+         h.slot_value, 'COUNTRY', round(e.score * h.score * 0.9, 6),
+         'employee_hq_residence'
+  FROM {store} e JOIN {store} h ON h.entity_name = e.slot_value
+  WHERE e.relation = 'per:employee_of' AND e.slot_ner = 'ORGANIZATION'
+    AND h.relation = 'org:country_of_headquarters' AND h.slot_ner = 'COUNTRY'
+"""
+
+
+def _mln_combine_sql(raw: str, known: str) -> str:
+    """Noisy-or over distinct (rule, score) derivations per novel key;
+    provenance = argmax-score rule, tie rule asc (the SQL twin of
+    inference._combine_derivations)."""
+    return f"""(
+  SELECT d.entity_name, d.entity_type, d.relation, d.slot_value, d.slot_ner,
+         round(1 - exp(sum(ln(1 - d.score))), 6) AS score,
+         min(r1.rule) AS rule
+  FROM (SELECT DISTINCT * FROM {raw}) d
+  JOIN (
+    SELECT *, row_number() OVER (
+      PARTITION BY entity_name, entity_type, relation, slot_value
+      ORDER BY score DESC, rule ASC
+    ) AS rn
+    FROM (SELECT DISTINCT * FROM {raw})
+  ) r1
+    ON r1.entity_name = d.entity_name AND r1.entity_type = d.entity_type
+   AND r1.relation = d.relation AND r1.slot_value = d.slot_value AND r1.rn = 1
   WHERE NOT EXISTS (
-    SELECT 1 FROM final_out t
-    WHERE t.entity_name = r.entity_name AND t.entity_type = r.entity_type
-      AND t.relation = r.relation AND t.slot_value = r.slot_value
+    SELECT 1 FROM {known} t
+    WHERE t.entity_name = d.entity_name AND t.entity_type = d.entity_type
+      AND t.relation = d.relation AND t.slot_value = d.slot_value
   )
-), inf_ranked AS (
-  SELECT *, row_number() OVER (
-    PARTITION BY entity_name, entity_type, relation, slot_value
-    ORDER BY score DESC, rule ASC
-  ) AS rn
-  FROM inf_novel
+  GROUP BY d.entity_name, d.entity_type, d.relation, d.slot_value, d.slot_ner,
+           r1.rule
 )
+"""
+
+
+def gold_tab_roundtrip_sql() -> str:
+    """Expected parse of the formatted gold lines, derived directly
+    from the final store (the SQL twin of goldtab.format_gold_tab |>
+    parse_gold_tab over per: fills — any formatter/parser drift
+    hash-mismatches)."""
+    body = _final_body() + """
+, per_triples AS (
+  SELECT DISTINCT entity_name, relation, slot_value
+  FROM final_out WHERE relation LIKE 'per:%'
+)
+SELECT CAST(row_number() OVER (ORDER BY entity_name, relation, slot_value) AS INT)
+         AS line_id,
+       entity_name AS query_id, relation,
+       'DOC_' || CAST(row_number() OVER (ORDER BY entity_name, relation, slot_value)
+                      AS STRING) AS docid,
+       slot_value, 'C' AS judgment,
+       CAST(dense_rank() OVER (PARTITION BY entity_name, relation
+                               ORDER BY slot_value) AS INT) AS equiv_class
+FROM per_triples
+"""
+    from .synthetic import oracle_query_linking
+
+    return duckdb_materialize(oracle_query_linking(body, recursive=True))
+
+
+def inferred_triples_sql() -> str:
+    """Inferential-pipeline oracle (InferentialSlotFiller analog): the
+    DEFAULT_MLN rule set — symmetric spouse, top-members inversion,
+    gazetteer city->country lifting, employee-of-HQ residence — with
+    noisy-or combination of same-key derivations and ONE chaining round
+    (rules re-run over store UNION round-1 conclusions); novel fills
+    only."""
+    body = _final_body() + f"""
+, geo AS (
+  SELECT replace(n_name, ' ', '') || 'ville' AS city, n_name AS country FROM nation
+), inf1_raw AS (
+{_mln_rules_sql('final_out')}
+), inf1 AS {_mln_combine_sql('inf1_raw', 'final_out')}
+, store2 AS (
+  SELECT entity_name, entity_type, relation, slot_value, slot_ner, score
+  FROM final_out
+  UNION ALL
+  SELECT entity_name, entity_type, relation, slot_value, slot_ner, score
+  FROM inf1
+), inf2_raw AS (
+{_mln_rules_sql('store2')}
+), inf2 AS {_mln_combine_sql('inf2_raw', 'store2')}
 SELECT entity_name, entity_type, relation, slot_value, slot_ner, score, rule
-FROM inf_ranked WHERE rn = 1
+FROM inf1
+UNION ALL
+SELECT entity_name, entity_type, relation, slot_value, slot_ner, score, rule
+FROM inf2
 """
     from .synthetic import oracle_query_linking
 

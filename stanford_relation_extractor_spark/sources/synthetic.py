@@ -57,7 +57,7 @@ _NICK_OF = {v: k for k, v in NICKNAMES.items()}
 # corporate suffixes, modeled on EntityLinker.java:23-37
 CORP_SUFFIXES = ("Inc", "Ltd", "Corp")
 
-N_TEMPLATES = 21
+N_TEMPLATES = 22
 
 _first_name_case = (
     "CASE CAST(o.o_custkey % 8 AS INT) "
@@ -112,7 +112,12 @@ turns_base AS (
       WHEN 19 THEN person || ' , the ' || soctitle || ' , attended the gala .'
       -- k20: pronoun subject — only J2 antecedent propagation can
       -- attribute the residence to the right person
-      ELSE pron || ' lives in ' || city || ' .'
+      WHEN 20 THEN pron || ' lives in ' || city || ' .'
+      -- k21 (corpus v3, adversarial): CATAPHORIC pronoun — the person
+      -- follows the pronoun in the same sentence; J2 must resolve to
+      -- the conversation's PRIOR antecedent (or drop), never to the
+      -- in-sentence following mention
+      ELSE pron || ' greeted ' || person || ' warmly .'
     END AS main_sent,
     CASE WHEN o_orderkey % 2 = 0 THEN ' Thanks for the update .' ELSE '' END AS filler
   FROM (
@@ -228,9 +233,25 @@ def oracle_query_linking(body: str, recursive: bool = False) -> str:
     return f"{prefix},\n{ALIAS_DICT_CTE},\n{CC_EDGES_CTE}\n{body}"
 
 
+_ALIAS_DICT_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def alias_dict_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wikidict-style alias dimension. In production this is a
+    static table read once; here it derives from a join over the TPC-H
+    dims, so the session memo (localCheckpoint-backed) keeps repeated
+    pipeline builds from re-running that join — it showed up as pure
+    serial cost inside the canonicalization window."""
+    key = (id(spark), sf_dir)
+    cached = _ALIAS_DICT_CACHE.get(key)
+    if cached is not None:
+        return cached
     register_views(spark, sf_dir)
-    return spark.sql(oracle_query_linking("SELECT * FROM alias_dict"))
+    df = spark.sql(
+        oracle_query_linking("SELECT * FROM alias_dict")
+    ).localCheckpoint(eager=True)
+    _ALIAS_DICT_CACHE[key] = df
+    return df
 
 
 def cc_edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -115,3 +115,36 @@ def test_pronoun_antecedent_resolution_in_fused_path(spark):
         )
     assert ("Alice Person000001", "per:cities_of_residence") in by_conv_turn[("c1", 1)]
     assert ("c2", 0) not in by_conv_turn  # unresolved pronoun casts nothing
+
+
+def test_cataphoric_pronoun_never_resolves_forward(spark):
+    """Corpus-v3 k21 semantics: a pronoun BEFORE a person in the same
+    sentence resolves to the conversation's PRIOR antecedent — never to
+    the in-sentence following mention; with no prior antecedent the
+    pronoun drops (and a self-pair with the prior antecedent is
+    sanity-dropped)."""
+    from stanford_relation_extractor_spark.operators.extractors import (
+        extract_votes_fused,
+    )
+    from stanford_relation_extractor_spark.sources.synthetic import detector_config
+
+    config = detector_config(["GERMANY"])
+    rows = [
+        ("c1", 0, "u", "Alice Person000001 is 34 years old .", None, None),
+        ("c1", 1, "u", "He greeted Bob Person000002 warmly .", None, None),
+        # c2: cataphora with NO prior antecedent -> pronoun drops ->
+        # only one mention left -> no votes at all
+        ("c2", 0, "u", "He greeted Carol Person000003 warmly .", None, None),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    votes = extract_votes_fused(t, config, with_statistical=False).collect()
+    pairs = {
+        (r["conv_id"], r["entity_name"], r["slot_value"]) for r in votes
+    }
+    # the c1 pronoun votes as Alice (prior antecedent), paired with Bob
+    assert ("c1", "Alice Person000001", "Bob Person000002") in pairs
+    # never as Bob-the-following-mention resolving the pronoun
+    assert ("c1", "Bob Person000002", "Bob Person000002") not in pairs
+    assert not any(c == "c2" for c, _e, _s in pairs)
