@@ -71,7 +71,10 @@ from stanford_relation_extractor_spark.plans.pipeline import build_stages
 
 from stanford_relation_extractor_spark.plans import pipeline as P
 
-inp = spark.read.parquet({amp_path!r}).repartition(cores * n_exec * 3)
+# no input repartition here: the extraction's conversation clustering
+# re-repartitions by conv_id anyway (an upfront round-robin exchange of
+# the full input was pure wasted shuffle in every timed run)
+inp = spark.read.parquet({amp_path!r})
 n = inp.count()
 times, stage_times = [], []
 for _ in range({runs}):
