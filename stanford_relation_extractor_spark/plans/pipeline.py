@@ -53,6 +53,31 @@ def _cleanup_spools() -> None:
         shutil.rmtree(_SPOOL_DIRS.pop(), ignore_errors=True)
 
 
+def _sweep_dead_spools(scratch: str) -> None:
+    """Remove spool dirs left by sessions that died without atexit
+    (SIGTERM/SIGKILL): the owning pid is in the dir name — if that
+    process is gone, its spool is garbage."""
+    import os
+    import re
+    import shutil
+
+    rx = re.compile(r"^spark_graft(\d+)_")
+    try:
+        entries = os.listdir(scratch)
+    except OSError:
+        return
+    for e in entries:
+        m = rx.match(e)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)  # raises if the pid is gone
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(scratch, e), ignore_errors=True)
+        except OSError:
+            pass
+
+
 def _parquet_spool(df: DataFrame, spark: SparkSession, name: str) -> DataFrame:
     """Materialize an intermediate table as compressed parquet scratch
     and hand back a fresh scan — the in-session analog of
@@ -64,12 +89,16 @@ def _parquet_spool(df: DataFrame, spark: SparkSession, name: str) -> DataFrame:
 
     # SPARK_GRAFT_SCRATCH points spools at fast scratch (e.g. /dev/shm
     # on the single-disk sandbox — a stand-in for the per-executor NVMe
-    # a real cluster gives each shuffle/spill dir)
-    d = tempfile.mkdtemp(
-        prefix=f"spark_graft_{name}_", dir=os.environ.get("SPARK_GRAFT_SCRATCH")
-    )
+    # a real cluster gives each shuffle/spill dir). The pid in the
+    # prefix makes a SIGKILLed session's leftovers (atexit never ran)
+    # attributable and safely sweepable by the next session.
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH")
     if not _SPOOL_DIRS:
         atexit.register(_cleanup_spools)
+        _sweep_dead_spools(scratch or tempfile.gettempdir())
+    d = tempfile.mkdtemp(
+        prefix=f"spark_graft{os.getpid()}_{name}_", dir=scratch
+    )
     _SPOOL_DIRS.append(d)
     df.write.mode("overwrite").parquet(d)
     return spark.read.parquet(d)

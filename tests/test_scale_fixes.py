@@ -334,6 +334,24 @@ def test_ensemble_two_phase_matches_single_phase(spark):
     assert one == two
 
 
+def test_dead_spool_sweep(tmp_path):
+    """Spools of SIGKILLed sessions (pid embedded in the dir name, pid
+    gone) are swept; live-pid dirs are untouched."""
+    import os
+
+    from stanford_relation_extractor_spark.plans import pipeline as P
+
+    dead = tmp_path / "spark_graft4190000_votes_x"
+    dead.mkdir()
+    alive = tmp_path / f"spark_graft{os.getpid()}_votes_y"
+    alive.mkdir()
+    other = tmp_path / "unrelated_dir"
+    other.mkdir()
+    P._sweep_dead_spools(str(tmp_path))
+    assert not dead.exists()
+    assert alive.exists() and other.exists()
+
+
 def test_miml_train_em_flips_ambiguous_mention(spark):
     """Hand-computed hard-EM fixture (A7): bag (E,S) is labeled rel_R
     with one good-context and one bad-context mention; a NIL bag shares
