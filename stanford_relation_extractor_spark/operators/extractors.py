@@ -318,7 +318,7 @@ def votes_for_sentence(
     mentions: list[dict[str, Any]],
     pattern_bank: dict[str, list[re.Pattern[str]]],
     trigger_bank: list[tuple[re.Pattern[str], dict[str, str]]],
-    stat: tuple[dict, list[str], dict] | None = None,
+    stat: tuple[list[dict], list[str], dict] | None = None,
 ) -> list[tuple[Any, ...]]:
     """All (entity, slot, relation, extractor, score) votes in one sentence."""
     out: list[tuple[Any, ...]] = []

@@ -45,8 +45,10 @@ _OUT_COLS = [
 # The production rule set, in the reference's MLN text format
 # (MLNReader.java:14-38 syntax). geo:city_country is a world-knowledge
 # predicate bound to the gazetteer table at execution time. Rule names
-# are comments carried by position (rule_<i> default) — the three
-# round-2 rules keep their historical names via NAMED_RULES below.
+# ride the `//` comment above each clause (`// name: free text`, the
+# MLNText convention of carrying names with rules): every clause under
+# a comment inherits its name, so inserting a clause mid-file never
+# shifts another rule's provenance.
 DEFAULT_MLN = """
 // predicate declarations: relation(entity_type, slot_ner)
 per:spouse(PERSON, PERSON)
@@ -62,30 +64,20 @@ org:city_of_headquarters(ORGANIZATION, CITY)
 org:country_of_headquarters(ORGANIZATION, COUNTRY)
 geo:city_country(CITY, COUNTRY)
 
-// spouse is symmetric
+// spouse_symmetry: spouse is symmetric
 0.9 !per:spouse(x, y) v per:spouse(y, x)
-// a top member of an org is employed by it
+// top_members_inversion: a top member of an org is employed by it
 0.9 !org:top_members/employees(x, y) v per:employee_of(y, x)
-// city fills lift to their gazetteer country
+// geo_lift: city fills lift to their gazetteer country
 0.9 !per:cities_of_residence(x, y) v !geo:city_country(y, z) v per:countries_of_residence(x, z)
 0.9 !per:city_of_birth(x, y) v !geo:city_country(y, z) v per:country_of_birth(x, z)
 0.9 !per:city_of_death(x, y) v !geo:city_country(y, z) v per:country_of_death(x, z)
 0.9 !org:city_of_headquarters(x, y) v !geo:city_country(y, z) v org:country_of_headquarters(x, z)
-// an employee of an org headquartered in C plausibly resides in C —
-// fires CHAINED off top_members_inversion's per:employee_of conclusions
+// employee_hq_residence: an employee of an org headquartered in C
+// plausibly resides in C — fires CHAINED off the per-employee_of
+// conclusions of top_members_inversion
 0.9 !per:employee_of(x, y) v !org:country_of_headquarters(y, z) v per:countries_of_residence(x, z)
 """
-
-# stable rule ids for provenance (clause order in DEFAULT_MLN)
-NAMED_RULES = (
-    "spouse_symmetry",
-    "top_members_inversion",
-    "geo_lift",
-    "geo_lift",
-    "geo_lift",
-    "geo_lift",
-    "employee_hq_residence",
-)
 
 
 @dataclass(frozen=True)
@@ -104,26 +96,37 @@ class Rule:
     head: Literal
 
 
-def parse_mln(
-    text: str, rule_names: tuple[str, ...] = ()
-) -> tuple[dict[str, tuple[str, str]], list[Rule]]:
+def parse_mln(text: str) -> tuple[dict[str, tuple[str, str]], list[Rule]]:
     """(predicate -> (type1, type2), Horn rules) from MLN text
     (MLNReader.java:14-90 syntax; Horn subset: exactly one positive
-    literal per clause)."""
+    literal per clause).
+
+    Rule naming: a comment line of the shape ``// name: free text``
+    (snake_case identifier before the colon) names every clause that
+    follows it, until the next naming comment or a predicate
+    declaration. Clauses with no active name get ``rule_<i>`` by clause
+    index. Names travel WITH the text, so clause insertion never shifts
+    another rule's provenance (the positional-NAMED_RULES hazard)."""
     import re
 
     pred_rx = re.compile(r"^([^!\s][^(]*)\(\s*([^,]+)\s*,\s*([^)]+)\s*\)$")
     lit_rx = re.compile(r"^(!?)([^(]+)\(\s*([^,]+)\s*,\s*([^)]+)\s*\)$")
+    name_rx = re.compile(r"^//\s*([a-z][a-z0-9_]*)\s*:")
 
     predicates: dict[str, tuple[str, str]] = {}
     rules: list[Rule] = []
+    current_name: str | None = None
     for raw in text.splitlines():
+        nm = name_rx.match(raw.strip())
+        if nm:
+            current_name = nm.group(1)
         line = re.sub(r"//.*$", "", raw).strip()
         if not line:
             continue
         m = pred_rx.match(line)
         if m and not line[0].isdigit():
             predicates[m.group(1).strip()] = (m.group(2).strip(), m.group(3).strip())
+            current_name = None  # a declaration block ends any rule-name scope
             continue
         if line.endswith("."):
             weight, clause = 1.0, line[:-1]
@@ -152,11 +155,7 @@ def parse_mln(
         body = tuple(l for l in lits if not l.positive)
         if not 1 <= len(body) <= 2:
             raise ValueError(f"unsupported body size {len(body)}: {clause!r}")
-        name = (
-            rule_names[len(rules)]
-            if len(rules) < len(rule_names)
-            else f"rule_{len(rules)}"
-        )
+        name = current_name if current_name is not None else f"rule_{len(rules)}"
         rules.append(Rule(name, weight, body, heads[0]))
     return predicates, rules
 
@@ -275,7 +274,7 @@ def infer_triples(
     """The production inferential pipeline: DEFAULT_MLN rules +
     gazetteer world knowledge, ``rounds`` of bounded chaining — one
     W4-deterministic row per novel (entity, relation, slot)."""
-    predicates, rules = parse_mln(DEFAULT_MLN, NAMED_RULES)
+    predicates, rules = parse_mln(DEFAULT_MLN)
     aux = {"geo:city_country": geo_cities.select("city", "country")}
     return apply_mln_rules(triples, predicates, rules, aux, rounds=rounds)
 

@@ -32,16 +32,18 @@ def parse_gold_tab(lines: DataFrame, column: str = "value") -> DataFrame:
     split2 = lines.filter(F.size(f) == 12).select(
         F.element_at(f, 1).cast("int").alias("line_id"),
         qrel.alias("_qrel"),
-        F.element_at(f, 3).alias("docid"),
-        F.element_at(f, 4).alias("slot_value"),
+        F.trim(F.element_at(f, 3)).alias("docid"),
+        F.trim(F.element_at(f, 4)).alias("slot_value"),
         F.element_at(f, 11).alias("judgment"),
         F.element_at(f, 12).cast("int").alias("equiv_class"),
     )
+    # query id / relation / docid / slot value are .trim()ed exactly as
+    # grok2013 does — real assessment files carry stray whitespace
     out = split2.select(
         "line_id",
-        F.substring_index(F.col("_qrel"), ":", 1).alias("query_id"),
+        F.trim(F.substring_index(F.col("_qrel"), ":", 1)).alias("query_id"),
         # relation = everything after the FIRST colon ("ns:relation")
-        F.expr("substring(_qrel, instr(_qrel, ':') + 1)").alias("relation"),
+        F.trim(F.expr("substring(_qrel, instr(_qrel, ':') + 1)")).alias("relation"),
         "docid",
         "slot_value",
         "judgment",

@@ -551,7 +551,14 @@ _ENSEMBLE_BODY = """
   -- integer division, EnsembleRelationExtractor.java:303-332)
   SELECT entity_name, entity_type, relation, slot_value, slot_ner,
          CAST(count(*) AS INT) AS n_agree,
-         round(1 - exp(sum(ln(1 - w))), 6) AS score
+         -- fold-left product over (1 - w) with w DESC: the exact float
+         -- path of ensemble.combine_votes (F.aggregate over ws_desc) —
+         -- the exp(sum(ln)) form diverged in the last ulp and blew up
+         -- at w = 1.0
+         round(1 - list_reduce(
+           list_prepend(CAST(1.0 AS DOUBLE),
+                        list(CAST(1.0 - w AS DOUBLE) ORDER BY w DESC)),
+           (acc, x) -> acc * x), 6) AS score
   FROM per_ex
   GROUP BY entity_name, entity_type, relation, slot_value, slot_ner
   HAVING count(*) >= 2
@@ -913,7 +920,14 @@ def _mln_combine_sql(raw: str, known: str) -> str:
     inference._combine_derivations)."""
     return f"""(
   SELECT d.entity_name, d.entity_type, d.relation, d.slot_value, d.slot_ner,
-         round(1 - exp(sum(ln(1 - d.score))), 6) AS score,
+         -- fold-left product over (1 - score) with score ASC: the exact
+         -- float path of inference._combine_derivations (F.aggregate
+         -- over array_sort(scores)); safe at score = 1.0 where ln(0)
+         -- degenerates
+         round(1 - list_reduce(
+           list_prepend(CAST(1.0 AS DOUBLE),
+                        list(CAST(1.0 - d.score AS DOUBLE) ORDER BY d.score ASC)),
+           (acc, x) -> acc * x), 6) AS score,
          min(r1.rule) AS rule
   FROM (SELECT DISTINCT * FROM {raw}) d
   JOIN (

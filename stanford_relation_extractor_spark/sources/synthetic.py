@@ -242,6 +242,17 @@ def alias_dict_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims, so the session memo (localCheckpoint-backed) keeps repeated
     pipeline builds from re-running that join — it showed up as pure
     serial cost inside the canonicalization window."""
+    # evict entries whose owning session has stopped: a dead-context
+    # DataFrame is unusable, and the localCheckpoint blocks it pins
+    # (plus the session object itself) would otherwise live for the
+    # process lifetime under an id()-keyed memo
+    for k, df in list(_ALIAS_DICT_CACHE.items()):
+        try:
+            stopped = df.sparkSession.sparkContext._jsc is None
+        except Exception:
+            stopped = True
+        if stopped:
+            del _ALIAS_DICT_CACHE[k]
     key = (id(spark), sf_dir)
     cached = _ALIAS_DICT_CACHE.get(key)
     if cached is not None:

@@ -23,17 +23,27 @@ def _geo(spark, rows=()):
     )
 
 
+EXPECTED_RULE_NAMES = [
+    "spouse_symmetry",
+    "top_members_inversion",
+    "geo_lift",
+    "geo_lift",
+    "geo_lift",
+    "geo_lift",
+    "employee_hq_residence",
+]
+
+
 def test_parse_mln_default_ruleset():
     from stanford_relation_extractor_spark.operators.inference import (
         DEFAULT_MLN,
-        NAMED_RULES,
         parse_mln,
     )
 
-    preds, rules = parse_mln(DEFAULT_MLN, NAMED_RULES)
+    preds, rules = parse_mln(DEFAULT_MLN)
     assert preds["per:spouse"] == ("PERSON", "PERSON")
     assert preds["geo:city_country"] == ("CITY", "COUNTRY")
-    assert [r.name for r in rules] == list(NAMED_RULES)
+    assert [r.name for r in rules] == EXPECTED_RULE_NAMES
     sym = rules[0]
     assert sym.weight == 0.9
     assert sym.body[0].pred == "per:spouse" and not sym.body[0].positive
@@ -44,6 +54,30 @@ def test_parse_mln_default_ruleset():
     ]
     with pytest.raises(ValueError):
         parse_mln("0.5 !a(x, y) v b(x, y) v c(y, x)")  # non-Horn
+
+
+def test_mln_rule_names_stable_under_clause_insertion():
+    """Names ride the `//` comment, not clause position: inserting a new
+    named clause mid-file must not rename any existing rule."""
+    from stanford_relation_extractor_spark.operators.inference import (
+        DEFAULT_MLN,
+        parse_mln,
+    )
+
+    inserted = DEFAULT_MLN.replace(
+        "// top_members_inversion:",
+        "// brand_new_rule: inserted mid-file\n"
+        "0.5 !per:spouse(x, y) v per:spouse(y, x)\n"
+        "// top_members_inversion:",
+    )
+    _, rules = parse_mln(inserted)
+    names = [r.name for r in rules]
+    assert names == (
+        EXPECTED_RULE_NAMES[:1] + ["brand_new_rule"] + EXPECTED_RULE_NAMES[1:]
+    )
+    # a clause under no naming comment falls back to its clause index
+    _, anon = parse_mln("a(T1, T2)\nb(T1, T2)\n0.9 !a(x, y) v b(x, y)")
+    assert anon[0].name == "rule_0"
 
 
 def test_mln_chaining_two_rounds(spark):
