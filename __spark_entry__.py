@@ -316,6 +316,54 @@ def _gold_tab_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_gold_tab(format_gold_tab(triples))
 
 
+def _real_gold_2013(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's REAL TAC-2013 assessment file through grok2013
+    parsing — external ground truth vs a DuckDB read_csv re-parse."""
+    from stanford_relation_extractor_spark.sources.goldtab import (
+        GOLD_2013_TAB,
+        read_gold_tab,
+    )
+
+    return read_gold_tab(spark, GOLD_2013_TAB, year=2013)
+
+
+def _real_gold_2009(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stanford_relation_extractor_spark.sources.goldtab import (
+        GOLD_2009_TAB,
+        read_gold_tab,
+    )
+
+    return read_gold_tab(spark, GOLD_2009_TAB, year=2009)
+
+
+def _official_score_2013(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CustomSFScore X/R/W semantics on the real 2013 gold: responses =
+    the deterministic line_id % 7 sample of the assessments themselves."""
+    from stanford_relation_extractor_spark.operators.evaluate import official_score
+    from stanford_relation_extractor_spark.sources.goldtab import (
+        GOLD_2013_TAB,
+        official_cardinality_2013,
+        read_gold_tab,
+    )
+
+    gold = read_gold_tab(spark, GOLD_2013_TAB, year=2013)
+    resp = gold.filter(F.col("line_id") % 7 == 0).select(
+        "query_id", "relation", "docid", "slot_value",
+        F.col("line_id").alias("resp_order"),
+    )
+    return official_score(resp, gold, official_cardinality_2013())
+
+
+def _real_queries_2013(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real 2013 query XML through the S7 parser (rows-only check:
+    XML is outside DuckDB's reach)."""
+    from stanford_relation_extractor_spark.sources.goldtab import QUERIES_2013_XML
+    from stanford_relation_extractor_spark.sources.taskxml import queries_df
+
+    with open(QUERIES_2013_XML) as fh:
+        return queries_df(spark, fh.read())
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG-construction pipeline on sf0.001."""
     from stanford_relation_extractor_spark.plans.pipeline import final_triples
@@ -348,6 +396,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inferred_triples": _inferred_triples,
         "pr_score": _pr_score,
         "gold_tab_roundtrip": _gold_tab_roundtrip,
+        "real_gold_2013": _real_gold_2013,
+        "real_gold_2009": _real_gold_2009,
+        "official_score_2013": _official_score_2013,
+        "real_queries_2013": _real_queries_2013,
         **_datapipe_queries(),
     }
 
@@ -372,6 +424,12 @@ def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": dq.q_events_sessions,
         "multimodal_features": dq.q_multimodal_features,
     }
+
+
+def _realgold():
+    from stanford_relation_extractor_spark.sources import realgold_oracle
+
+    return realgold_oracle
 
 
 def _duckdb_materialize(sql: str) -> str:
@@ -431,6 +489,11 @@ def oracle_sql() -> dict[str, str]:
         "inferred_triples": orc.inferred_triples_sql(),
         "pr_score": orc.pr_score_sql(),
         "gold_tab_roundtrip": orc.gold_tab_roundtrip_sql(),
+        "real_gold_2013": _realgold().gold_2013_sql(),
+        "real_gold_2009": _realgold().gold_2009_sql(),
+        "official_score_2013": _realgold().official_score_2013_sql(),
+        # real_queries_2013 intentionally has no oracle (XML parse —
+        # driver records the weaker rows-only check)
         "wikidict_link": oracle_query_linking(
             """
 , wmentions AS (SELECT DISTINCT nickperson AS surface FROM turns_base),

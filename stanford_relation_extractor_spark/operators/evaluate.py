@@ -113,6 +113,150 @@ def pr_auc(guesses: DataFrame, gold: DataFrame) -> DataFrame:
     )
 
 
+OFFICIAL_SCORE_SCHEMA = (
+    "n_answers long, n_responses long, n_correct long, n_redundant long, "
+    "n_wrong long, n_inexact long, precision double, recall double, f1 double"
+)
+
+
+def official_score(
+    responses: DataFrame,
+    gold: DataFrame,
+    cardinality: dict[str, str],
+    all_query_ids: list[str] | None = None,
+    anydoc: bool = False,
+) -> DataFrame:
+    """The official TAC slot-filling scorer (`evaluate/CustomSFScore.java:137-510`,
+    the SFScore2010 clone), re-expressed as joins/windows — full X/R/W
+    judgment semantics, not set-level P/R:
+
+    * judgments key on (query, relation, doc, slot); equivalence class 0
+      generates a fresh singleton class (``eclass_generator``); duplicate
+      keys resolve first-CORRECT-wins, else last-line-wins (the anydoc
+      keep-correct rule, CustomSFScore.java:228-233);
+    * **single-valued slots** score only the FIRST system response
+      (responseList.get(0)); NIL responses count nothing;
+    * **list-valued slots** score every non-NIL response; a C-judged
+      response whose equivalence class was already claimed by an earlier
+      response of the same query counts REDUNDANT, not correct
+      (the ``distincts`` set, CustomSFScore.java:461-474);
+    * unjudged responses default WRONG; X (inexact) and R (redundant)
+      count against precision but never as correct (the anti-credit the
+      set-level ``pr_score`` cannot express);
+    * recall denominator: with ``all_query_ids`` the TRUE recall over
+      every query x relation (single-valued: has-a-correct-answer;
+      list-valued: #equivalence classes); without it the reference's
+      "fake recall" over answered slots only;
+    * relations missing from ``cardinality`` score as slotType 'error'
+      and are excluded (CustomSFScore.java:981-995).
+
+    ``responses``: (query_id, relation, docid, slot_value, resp_order) —
+    resp_order is the response-file line order. ``gold``: the
+    ``parse_gold_tab`` frame. Returns one row (OFFICIAL_SCORE_SCHEMA).
+    """
+    spark = responses.sparkSession
+    doc = (F.lit("*") if anydoc else F.col("docid")).alias("docid")
+    g = gold.select(
+        "line_id", "query_id", "relation", doc, "slot_value", "judgment",
+        F.when(
+            F.col("equiv_class").isNull() | (F.col("equiv_class") == 0),
+            F.concat(F.lit("g"), F.col("line_id")),
+        ).otherwise(F.col("equiv_class").cast("string")).alias("eclass"),
+    )
+    key = ["query_id", "relation", "docid", "slot_value"]
+    w_key = Window.partitionBy(*key).orderBy(
+        F.col("judgment") != "C",
+        F.when(F.col("judgment") == "C", F.col("line_id")).otherwise(-F.col("line_id")),
+    )
+    jkey = (
+        g.withColumn("_rn", F.row_number().over(w_key))
+        .filter(F.col("_rn") == 1)
+        .select(*key, "judgment", "eclass")
+    )
+    card = F.broadcast(
+        spark.createDataFrame(
+            sorted(cardinality.items()), "relation string, card string"
+        )
+    )
+    resp = responses.select(
+        "query_id", "relation",
+        (F.lit("*") if anydoc else F.col("docid")).alias("docid"),
+        "slot_value", "resp_order",
+    ).join(card, "relation")
+
+    # single-valued: first response only
+    w_first = Window.partitionBy("query_id", "relation").orderBy("resp_order")
+    sv = (
+        resp.filter(F.col("card") == "SINGLE")
+        .withColumn("_rn", F.row_number().over(w_first))
+        .filter((F.col("_rn") == 1) & (F.col("docid") != "NIL"))
+        .join(jkey.withColumnRenamed("judgment", "_j"), key, "left")
+        .select(F.coalesce(F.col("_j"), F.lit("W")).alias("judgment"))
+    )
+    # list-valued: every non-NIL response; repeated equivalence class -> R
+    lv = (
+        resp.filter((F.col("card") == "LIST") & (F.col("docid") != "NIL"))
+        .join(jkey.withColumnRenamed("judgment", "_j"), key, "left")
+        .withColumn("judgment", F.coalesce(F.col("_j"), F.lit("W")))
+    )
+    w_ec = (
+        Window.partitionBy("query_id", "relation", "eclass")
+        .orderBy("resp_order")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_c = F.sum((F.col("judgment") == "C").cast("int")).over(w_ec)
+    lv = lv.select(
+        F.when((F.col("judgment") == "C") & (cum_c > 1), F.lit("R"))
+        .otherwise(F.col("judgment"))
+        .alias("judgment")
+    )
+    jc = {
+        r["judgment"]: r["n"]
+        for r in sv.unionByName(lv).groupBy("judgment").agg(F.count("*").alias("n")).collect()
+    }
+    n_correct = jc.get("C", 0)
+    n_redundant = jc.get("R", 0)
+    n_wrong = jc.get("W", 0)
+    n_inexact = jc.get("X", 0)
+    n_responses = sum(jc.values())
+
+    gold_c = g.filter(F.col("judgment") == "C")
+    if all_query_ids is not None:
+        scope = F.broadcast(
+            spark.createDataFrame([(q,) for q in all_query_ids], "query_id string")
+        )
+        in_scope = gold_c.join(scope, "query_id", "left_semi")
+    else:
+        # fake recall: only slots the system actually answered
+        slots = resp.select("query_id", "relation").distinct()
+        in_scope = gold_c.join(slots, ["query_id", "relation"], "left_semi")
+    sv_ans = (
+        in_scope.join(card, "relation")
+        .filter(F.col("card") == "SINGLE")
+        .select("query_id", "relation")
+        .distinct()
+        .count()
+    )
+    l_ans = (
+        in_scope.join(card, "relation")
+        .filter(F.col("card") == "LIST")
+        .select("query_id", "relation", "eclass")
+        .distinct()
+        .count()
+    )
+    n_answers = sv_ans + l_ans
+    precision = n_correct / n_responses if n_responses else 0.0
+    recall = n_correct / n_answers if n_answers else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return spark.createDataFrame(
+        [(
+            n_answers, n_responses, n_correct, n_redundant, n_wrong, n_inexact,
+            round(precision, 6), round(recall, 6), round(f1, 6),
+        )],
+        OFFICIAL_SCORE_SCHEMA,
+    )
+
+
 def nil_padded_output(triples: DataFrame, queries: DataFrame, spark: SparkSession) -> DataFrame:
     """Sorted official output with NIL padding (S10).
 

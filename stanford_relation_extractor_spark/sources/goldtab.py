@@ -21,6 +21,47 @@ from pyspark.sql import functions as F
 
 JUDGMENTS = ("C", "X", "R", "W")  # CustomSFScore constants; 'I' dropped
 
+# The reference SHIPS the real TAC evaluation data (public TAC content):
+# query XMLs under evaluation_queries/ and assessment .tab files under
+# evaluation_results/. These are the one ground-truth source authored by
+# neither this engine nor its oracle.
+REFERENCE_KBP_DIR = "/root/reference/stanford-kbp/edu/stanford/nlp/kbp"
+GOLD_2013_TAB = f"{REFERENCE_KBP_DIR}/evaluation_results/2013.tab"
+GOLD_2009_TAB = f"{REFERENCE_KBP_DIR}/evaluation_results/2009.tab"
+QUERIES_2013_XML = f"{REFERENCE_KBP_DIR}/evaluation_queries/2013.xml"
+
+# Canonical (RelationType.toString) -> KBP-2013 official relation name,
+# from `spec/OfficialOutputWriter.java:182-193` (KBP2013 case; names not
+# listed map to themselves). per:employee_of and per:member_of COLLAPSE
+# onto one official 2013 slot.
+OFFICIAL_2013 = {
+    "per:employee_of": "per:employee_or_member_of",
+    "per:member_of": "per:employee_or_member_of",
+    "per:stateorprovinces_of_residence": "per:statesorprovinces_of_residence",
+    "org:political/religious_affiliation": "org:political_religious_affiliation",
+    "org:top_members/employees": "org:top_members_employees",
+    "org:number_of_employees/members": "org:number_of_employees_members",
+    "org:founded": "org:date_founded",
+    "org:dissolved": "org:date_dissolved",
+}
+
+# CustomSFScore.java:38-41 judgment codes (pre-2011 .tab files carry the
+# integer; 2013 carries the letter)
+JUDGMENT_CODES = {1: "C", -1: "W", 2: "R", 3: "X"}
+
+
+def official_cardinality_2013() -> dict[str, str]:
+    """official-2013 relation name -> SINGLE | LIST, derived from the
+    ontology's canonical cardinalities through the OFFICIAL_2013 rename
+    (CustomSFScore.slotType semantics: unknown relations score as
+    'error' and are excluded — callers drop keys not in this map)."""
+    from ..ontology import RELATIONS
+
+    out: dict[str, str] = {}
+    for r in RELATIONS:
+        out[OFFICIAL_2013.get(r.name, r.name)] = r.cardinality
+    return out
+
 
 def parse_gold_tab(lines: DataFrame, column: str = "value") -> DataFrame:
     """(line_id, query_id, relation, docid, slot_value, judgment,
@@ -50,6 +91,46 @@ def parse_gold_tab(lines: DataFrame, column: str = "value") -> DataFrame:
         "equiv_class",
     )
     return out.filter(F.col("judgment") != "I")
+
+
+def parse_gold_tab_2009(lines: DataFrame, column: str = "value") -> DataFrame:
+    """(line_id, query_id, relation, docid, slot_value, judgment,
+    equiv_class) from 2009/2010-format assessment lines —
+    `GoldResponseSet.grokBefore2011` field layout (11 tab fields:
+    [0] line id, [1] query id, [3] relation, [4] doc id, [8] slot
+    value, [9] equivalence class, [10] integer judgment). The integer
+    judgment maps to the 2013 letters via CustomSFScore's codes so
+    downstream scoring is format-agnostic; unknown codes drop."""
+    f = F.split(F.col(column), "\t")
+    judgment = F.element_at(f, 11).cast("int")
+    letter = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in JUDGMENT_CODES.items() for x in kv]
+        ),
+        judgment,
+    )
+    return (
+        lines.filter(F.size(f) == 11)
+        .select(
+            F.element_at(f, 1).cast("int").alias("line_id"),
+            F.trim(F.element_at(f, 2)).alias("query_id"),
+            F.trim(F.element_at(f, 4)).alias("relation"),
+            F.trim(F.element_at(f, 5)).alias("docid"),
+            F.trim(F.element_at(f, 9)).alias("slot_value"),
+            letter.alias("judgment"),
+            F.element_at(f, 10).cast("int").alias("equiv_class"),
+        )
+        .filter(F.col("judgment").isNotNull())
+    )
+
+
+def read_gold_tab(spark, path: str = GOLD_2013_TAB, year: int = 2013) -> DataFrame:
+    """Parse a real on-disk assessment file (2013 12-field letter format
+    or 2009/2010 11-field integer format)."""
+    lines = spark.read.text(path)
+    if year >= 2013:
+        return parse_gold_tab(lines)
+    return parse_gold_tab_2009(lines)
 
 
 def format_gold_tab(triples: DataFrame) -> DataFrame:
