@@ -81,8 +81,10 @@ def _stat_context() -> tuple[list[dict], list[str], dict]:
 
     return (BAG_WEIGHTS, softmax_relations(), {})
 
+# strict subset of defs.rules $TOP_TITLE (per_age.rules sibling file,
+# defs.rules:21) — tests/test_rules_parity.py asserts the containment
 _TOP_TITLE = (
-    r"(?:president|chairman|chairwoman|minister|executive|chief|ceo|director|"
+    r"(?:president|chairman|chairwoman|minister|executive|chief|ceo|"
     r"head|founder|officer|leader|governor|senator|mayor)"
 )
 
