@@ -466,9 +466,18 @@ def oracle_sql() -> dict[str, str]:
             "text FROM transcripts"
         ),
         "sentences": oracle_query(
-            "SELECT conv_id, turn_idx, 0 AS sent_idx, main_sent AS sent_text FROM turns_base "
+            # k24 is a TWO-sentence turn: main_sent splits at the
+            # sentence boundary, pushing the filler to sent_idx 2
+            "SELECT conv_id, turn_idx, 0 AS sent_idx, "
+            "CASE WHEN k = 24 THEN person || ' arrived early .' ELSE main_sent END AS sent_text "
+            "FROM turns_base "
             "UNION ALL "
-            "SELECT conv_id, turn_idx, 1 AS sent_idx, 'Thanks for the update .' AS sent_text "
+            "SELECT conv_id, turn_idx, 1 AS sent_idx, "
+            "'Flights to ' || city || ' resumed .' AS sent_text "
+            "FROM turns_base WHERE k = 24 "
+            "UNION ALL "
+            "SELECT conv_id, turn_idx, CASE WHEN k = 24 THEN 2 ELSE 1 END AS sent_idx, "
+            "'Thanks for the update .' AS sent_text "
             "FROM turns_base WHERE filler <> ''"
         ),
         "mentions": orc.mentions_sql(),

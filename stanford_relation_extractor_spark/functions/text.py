@@ -81,10 +81,21 @@ def same_entity(a: str, b: str, entity_type: str = "ORGANIZATION") -> bool:
         # PERSON requires shared surname-like final token
         if entity_type != "PERSON" or (ta and tb and ta[-1] == tb[-1]):
             return True
-    # near-typo: string edit distance <= 1 on the normalized form
-    if abs(len(na) - len(nb)) <= 1 and _lev_le1(na, nb):
+    # near-typo: string edit distance <= 1 on the normalized form —
+    # but a DIGIT difference is never a typo ("Org004 Securities" vs
+    # "Org009 Securities", "Boeing 737" vs "Boeing 747" are distinct
+    # entities one edit apart): require identical digit sequences
+    if (
+        abs(len(na) - len(nb)) <= 1
+        and _digits(na) == _digits(nb)
+        and _lev_le1(na, nb)
+    ):
         return True
     return False
+
+
+def _digits(s: str) -> str:
+    return "".join(c for c in s if c.isdigit())
 
 
 def _lev_le1(a: str, b: str) -> bool:
@@ -173,3 +184,31 @@ def blocking_key_ext(name: str) -> str:
     if not toks:
         return ""
     return f"{toks[-1]}:{n[:3]}"
+
+
+def blocking_key_first(name: str) -> str:
+    """Secondary ORG blocking key: normalized FIRST token + first char,
+    same key space as ``blocking_key`` so "Org003 Securities"
+    (first token org003) lands in single-token "Org003"'s block. Nested
+    organization names ("Bank of America Securities" vs "Bank of
+    America") share no LAST token, so last-token blocking alone never
+    pairs them — but the reference's containment cascade
+    (EntityLinker token overlap >= 0.75) must see the pair to merge it.
+    Empty for single-token names (their last-token key already IS this
+    key) — PERSONs never use it: the PERSON cascade requires a shared
+    surname (last token), so first-name blocks could never merge."""
+    n = no_special_chars(strip_corp(name))
+    toks = n.split()
+    if len(toks) < 2 or toks[0] == toks[-1]:
+        return ""
+    return f"{toks[0]}:{n[:1]}"
+
+
+def blocking_key_first_ext(name: str) -> str:
+    """Hot-block re-key for the first-token family (first token + 3-char
+    prefix), mirroring ``blocking_key_ext``."""
+    n = no_special_chars(strip_corp(name))
+    toks = n.split()
+    if len(toks) < 2 or toks[0] == toks[-1]:
+        return ""
+    return f"{toks[0]}:{n[:3]}"

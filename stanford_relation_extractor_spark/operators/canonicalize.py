@@ -377,6 +377,16 @@ def blocked_candidate_pairs(
        can actually merge) sort adjacent. Documented recall trade, the
        same one the base key already makes at its 1-char prefix.
 
+    ORGANIZATION surfaces with a distinct first token additionally key
+    into the FIRST-token block (``blocking_key_first``), so nested names
+    ("Bank of America Securities") meet their containment parent ("Bank
+    of America" / "Org003") — the pair the reference's token-overlap
+    cascade must judge but last-token blocking alone never generates.
+    A multi-token pair sharing BOTH first and last tokens can surface
+    twice (once per key family); the duplicate edge is judged twice and
+    deduplicated by connected-components' DISTINCT — bounded waste, no
+    correctness effect.
+
     Output: (src, dst, et) with src < dst within a block.
     """
     from collections.abc import Iterator
@@ -385,21 +395,48 @@ def blocked_candidate_pairs(
 
     from pyspark.sql import Window
 
-    from ..functions.text import blocking_key, blocking_key_ext
+    from ..functions.text import (
+        blocking_key,
+        blocking_key_ext,
+        blocking_key_first,
+        blocking_key_first_ext,
+    )
 
     def add_block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
             pdf["block"] = pdf["entity_name"].map(blocking_key)
             pdf["block_ext"] = pdf["entity_name"].map(blocking_key_ext)
+            is_org = pdf["entity_type"] == "ORGANIZATION"
+            pdf["block_first"] = ""
+            pdf["block_first_ext"] = ""
+            pdf.loc[is_org, "block_first"] = pdf.loc[is_org, "entity_name"].map(
+                blocking_key_first
+            )
+            pdf.loc[is_org, "block_first_ext"] = pdf.loc[is_org, "entity_name"].map(
+                blocking_key_first_ext
+            )
             yield pdf
 
-    keyed0 = entities.select("entity_name", "entity_type").mapInPandas(
+    keyed_raw = entities.select("entity_name", "entity_type").mapInPandas(
         add_block,
         schema=(
-            "entity_name string, entity_type string, block string, block_ext string"
+            "entity_name string, entity_type string, block string, "
+            "block_ext string, block_first string, block_first_ext string"
         ),
-    ).filter(F.col("block") != "")
+    )
+    keyed0 = (
+        keyed_raw.select("entity_name", "entity_type", "block", "block_ext")
+        .unionByName(
+            keyed_raw.filter(F.col("block_first") != "").select(
+                "entity_name",
+                "entity_type",
+                F.col("block_first").alias("block"),
+                F.col("block_first_ext").alias("block_ext"),
+            )
+        )
+        .filter(F.col("block") != "")
+    )
     counts = keyed0.groupBy("entity_type", "block").agg(F.count("*").alias("_n0"))
     keyed = (
         keyed0.join(counts, ["entity_type", "block"])

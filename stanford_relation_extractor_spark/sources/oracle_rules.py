@@ -92,9 +92,24 @@ TEMPLATE_MENTIONS: dict[int, list[tuple[str, str]]] = {
     20: [("pron", "PRONOUN"), ("city", "CITY")],
     # k21 (corpus v3): cataphoric pronoun — person FOLLOWS the pronoun
     21: [("pron", "PRONOUN"), ("person", "PERSON")],
+    # k22 (corpus v4): same-surname distinct person (must NOT merge)
+    22: [("surnamesake", "PERSON"), ("city", "CITY")],
+    # k23 (corpus v4): nested ORG (must merge via the J8 cascade)
+    23: [("org_sec", "ORGANIZATION"), ("city", "CITY")],
+    # k24 (corpus v4): cross-sentence negative — sentence 0 carries the
+    # person ONLY; the CITY lives in sentence 1 (SENT2_MENTIONS)
+    24: [("person", "PERSON")],
+}
+
+# second-sentence mentions (sent_idx 1) for multi-sentence templates —
+# pair generation is per-sentence, so these mentions join the mention
+# stream but never pair with sentence-0 mentions
+SENT2_MENTIONS: dict[int, list[tuple[str, str]]] = {
+    24: [("city", "CITY")],
 }
 
 _NER_OF = {col: ner for ms in TEMPLATE_MENTIONS.values() for col, ner in ms}
+_NER_OF.update({col: ner for ms in SENT2_MENTIONS.values() for col, ner in ms})
 _NER_OF["person2"] = "PERSON"
 # the J2-resolved pronoun: a pseudo-column of tb_ante (see TB_ANTE_CTE)
 _NER_OF["antecedent"] = "PERSON"
@@ -125,8 +140,9 @@ TB_ANTE_CTE = """
   FROM (
     SELECT *, CASE CAST(k AS INT)
         WHEN 4 THEN NULL WHEN 8 THEN NULL WHEN 10 THEN NULL WHEN 11 THEN NULL
-        WHEN 14 THEN NULL WHEN 18 THEN NULL WHEN 20 THEN NULL
+        WHEN 14 THEN NULL WHEN 18 THEN NULL WHEN 20 THEN NULL WHEN 23 THEN NULL
         WHEN 6 THEN person2 WHEN 13 THEN nickperson WHEN 16 THEN initialperson
+        WHEN 22 THEN surnamesake
         ELSE person END AS last_person
     FROM turns_base
   ) t
@@ -168,6 +184,10 @@ PATTERN_VOTES: dict[int, list[tuple[str, str, str]]] = {
     # votes only, and the pronoun must NOT resolve to the in-sentence
     # following person (cataphora; J2 uses the PRIOR antecedent)
     21: [],
+    22: [("surnamesake", "city", "per:cities_of_residence")],
+    23: [("org_sec", "city", "org:city_of_headquarters")],
+    # k24: entity and slot in DIFFERENT sentences — no pair, no vote
+    24: [],
 }
 
 TRIGGER_VOTES: dict[int, list[tuple[str, str, str]]] = {
@@ -193,6 +213,9 @@ TRIGGER_VOTES: dict[int, list[tuple[str, str, str]]] = {
     19: [("person", "soctitle", "per:title")],
     20: [("antecedent", "city", "per:cities_of_residence")],
     21: [],
+    22: [("surnamesake", "city", "per:cities_of_residence")],
+    23: [("org_sec", "city", "org:city_of_headquarters")],
+    24: [],
 }
 
 
@@ -231,6 +254,10 @@ TEMPLATE_SHAPE: dict[int, list] = {
     # resolved antecedent's TYPE only, never its surface
     20: [_c("antecedent"), "lives", "in", _c("city"), "."],
     21: [_c("antecedent"), "greeted", _c("person"), "warmly", "."],
+    22: [_c("surnamesake"), "lives", "in", _c("city"), "."],
+    23: [_c("org_sec"), "is", "headquartered", "in", _c("city"), "."],
+    # sentence 0 only — the CITY in sentence 1 never pairs
+    24: [_c("person"), "arrived", "early", "."],
 }
 
 
@@ -373,6 +400,11 @@ def mentions_sql() -> str:
         f"FROM turns_base WHERE k = {k}"
         for k in sorted(TEMPLATE_MENTIONS)
         for col, ner in TEMPLATE_MENTIONS[k]
+    ] + [
+        f"SELECT conv_id, turn_idx, 1 AS sent_idx, {col} AS surface, '{ner}' AS ner "
+        f"FROM turns_base WHERE k = {k}"
+        for k in sorted(SENT2_MENTIONS)
+        for col, ner in SENT2_MENTIONS[k]
     ]
     return duckdb_materialize(oracle_query("\nUNION ALL\n".join(branches)))
 
@@ -381,10 +413,18 @@ def votes_sql() -> str:
     return duckdb_materialize(oracle_query(TB_ANTE_CTE + "\n" + votes_union_sql()))
 
 
+# sentence-0 text per template: main_sent except for multi-sentence
+# templates, whose first sentence is a strict prefix (k24)
+SENT0_TEXT_SQL: dict[int, str] = {
+    24: "person || ' arrived early .'",
+}
+
+
 def topk_sentences_sql(k: int = 5) -> str:
     """W7 oracle: per-entity sentence budget with text dedup."""
     branches = [
-        f"SELECT {col} AS entity_name, conv_id, turn_idx, 0 AS sent_idx, main_sent AS sent_text "
+        f"SELECT {col} AS entity_name, conv_id, turn_idx, 0 AS sent_idx, "
+        f"{SENT0_TEXT_SQL.get(kk, 'main_sent')} AS sent_text "
         f"FROM turns_base WHERE k = {kk}"
         for kk in sorted(TEMPLATE_MENTIONS)
         for col, ner in TEMPLATE_MENTIONS[kk]
@@ -414,6 +454,10 @@ def ner_majority_sql() -> str:
         f"SELECT {col} AS surface, '{ner}' AS ner FROM turns_base WHERE k = {kk}"
         for kk in sorted(TEMPLATE_MENTIONS)
         for col, ner in TEMPLATE_MENTIONS[kk]
+    ] + [
+        f"SELECT {col} AS surface, '{ner}' AS ner FROM turns_base WHERE k = {kk}"
+        for kk in sorted(SENT2_MENTIONS)
+        for col, ner in SENT2_MENTIONS[kk]
     ]
     body = f"""
 , men AS (
@@ -451,10 +495,15 @@ def _canon_ctes() -> str:
     -> pure-target representative map.
 
     The engine additionally feeds same-entity cascade edges (J8) into
-    CC; on this corpus the cascade only reproduces the corporate-suffix
-    dictionary edges (equal normalized forms within a block), so the
-    oracle deliberately omits it — any cascade edge beyond that is an
-    engine bug this oracle would catch as a hash mismatch.
+    CC. On this corpus the cascade's NOVEL contribution is exactly the
+    k23 nested-org containment merge (org_sec -> org; 'Securities' is
+    not a corporate suffix, so no dictionary edge exists) — mirrored
+    below as cascade_edges, which join CC connectivity but NOT the
+    pure-target (directed-edge) representative selection, matching
+    build_canon_map's directed/cascade tag split. Every other cascade
+    edge only reproduces corporate-suffix dictionary edges; any edge
+    beyond these (e.g. a same-surname k22 merge, which must NOT happen)
+    is an engine bug this oracle catches as a hash mismatch.
     """
     # k21's only pairs are antecedent x person: when the resolved
     # antecedent IS the in-sentence person every vote of the row is a
@@ -503,10 +552,16 @@ def _canon_ctes() -> str:
   SELECT DISTINCT src, dst FROM (
     SELECT src, dst FROM dict_edges UNION ALL SELECT src, dst FROM link_edges
   ) u
+), cascade_edges AS (
+  -- k23 nested-org containment (J8 token-overlap >= 0.75): undirected
+  -- connectivity only — never a pure-target source/destination
+  SELECT DISTINCT org_sec AS src, org AS dst FROM turns_base WHERE k = 23
 ), canon_sym AS (
   SELECT DISTINCT a, b FROM (
     SELECT src AS a, dst AS b FROM canon_edges
     UNION ALL SELECT dst, src FROM canon_edges
+    UNION ALL SELECT src, dst FROM cascade_edges
+    UNION ALL SELECT dst, src FROM cascade_edges
   ) u
 ), canon_nodes AS (
   SELECT DISTINCT a AS node FROM canon_sym
@@ -607,6 +662,14 @@ _ALT_NAMES_CTE = """
          'PERSON' AS slot_ner, 1 AS n_agree, CAST(0.9 AS DOUBLE) AS score
   FROM canon_map
   WHERE regexp_matches(node, ' Person[0-9]{6}$')
+  UNION ALL
+  -- k23 nested-org merges ARE valid alternate names ('Securities' is
+  -- not a disallowed variant, so the normalized forms differ)
+  SELECT rep AS entity_name, 'ORGANIZATION' AS entity_type,
+         'org:alternate_names' AS relation, node AS slot_value,
+         'ORGANIZATION' AS slot_ner, 1 AS n_agree, CAST(0.9 AS DOUBLE) AS score
+  FROM canon_map
+  WHERE node LIKE '% Securities'
 )"""
 
 

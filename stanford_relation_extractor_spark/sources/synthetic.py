@@ -57,7 +57,31 @@ _NICK_OF = {v: k for k, v in NICKNAMES.items()}
 # corporate suffixes, modeled on EntityLinker.java:23-37
 CORP_SUFFIXES = ("Inc", "Ltd", "Corp")
 
-N_TEMPLATES = 22
+# k23 nested-org descriptor: 'Securities' is NOT a corporate suffix in
+# the reference's CORPORATE_SUFFIXES (EntityLinker.java:23-37), so
+# "Org003 Securities" does NOT normalize onto "Org003" — the J8
+# token-containment cascade is the only path that can merge them (the
+# "Bank of America Securities" case).
+ORG_DESCRIPTORS = ("Securities",)
+
+# k22 same-surname adversarial cast: per canonical first name, a
+# DISTINCT same-initial first name (edit distance >= 2 from the
+# canonical form, its nickname, and the "X." initial form) so the
+# surfaces share a J8 block (same surname token + first char) yet must
+# NOT merge: not a nickname, no wikidict alias, token overlap 1/2 below
+# the PERSON threshold, and beyond the near-typo distance.
+SURNAMESAKES: dict[str, str] = {
+    "Alice": "Alma",
+    "Bob": "Bart",
+    "Carol": "Cora",
+    "David": "Dora",
+    "Emma": "Elsa",
+    "Frank": "Fred",
+    "Grace": "Gwen",
+    "Henry": "Hugo",
+}
+
+N_TEMPLATES = 25
 
 _first_name_case = (
     "CASE CAST(o.o_custkey % 8 AS INT) "
@@ -74,6 +98,13 @@ _nick_case = (
     + " ".join(f"WHEN {i} THEN '{_NICK_OF[n]}'" for i, n in enumerate(FIRST_NAMES[:-1]))
     + f" ELSE '{_NICK_OF[FIRST_NAMES[-1]]}' END"
 )
+_samesake_case = (
+    "CASE CAST(o.o_custkey % 8 AS INT) "
+    + " ".join(
+        f"WHEN {i} THEN '{SURNAMESAKES[n]}'" for i, n in enumerate(FIRST_NAMES[:-1])
+    )
+    + f" ELSE '{SURNAMESAKES[FIRST_NAMES[-1]]}' END"
+)
 
 # The WITH-clause body shared verbatim by Spark SQL and DuckDB.
 TURNS_BASE_CTE = f"""
@@ -83,7 +114,8 @@ turns_base AS (
     CAST(row_number() OVER (PARTITION BY conv_key ORDER BY o_orderkey) - 1 AS INT) AS turn_idx,
     CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
     CASE WHEN o_orderkey % 3 = 2 THEN 'search' END AS tool,
-    ts, k, person, person2, nickperson, initialperson, org, org_inc, org_ltd,
+    ts, k, person, person2, nickperson, initialperson, surnamesake,
+    org, org_inc, org_ltd, org_sec,
     country, city, age, yr, n_emp, n_cars, title, website, badsite, soctitle, pron,
     CASE CAST(k AS INT)
       WHEN 0 THEN person || ' , ' || age || ' , lives in ' || country || ' .'
@@ -117,7 +149,19 @@ turns_base AS (
       -- follows the pronoun in the same sentence; J2 must resolve to
       -- the conversation's PRIOR antecedent (or drop), never to the
       -- in-sentence following mention
-      ELSE pron || ' greeted ' || person || ' warmly .'
+      WHEN 21 THEN pron || ' greeted ' || person || ' warmly .'
+      -- k22 (corpus v4, adversarial): same-surname DISTINCT person —
+      -- shares the J8 block with `person` (same surname token + first
+      -- char) but must NOT merge (precision, not just boundedness)
+      WHEN 22 THEN surnamesake || ' lives in ' || city || ' .'
+      -- k23 (corpus v4, adversarial): nested ORG name — 'Securities'
+      -- is not a corporate suffix, so only the token-containment
+      -- cascade can (and must) merge it onto the parent org
+      WHEN 23 THEN org_sec || ' is headquartered in ' || city || ' .'
+      -- k24 (corpus v4, adversarial): TWO sentences — entity in the
+      -- first, CITY slot in the second; pair generation is strictly
+      -- per-sentence, so the ground truth is NO vote at all
+      ELSE person || ' arrived early . Flights to ' || city || ' resumed .'
     END AS main_sent,
     CASE WHEN o_orderkey % 2 = 0 THEN ' Thanks for the update .' ELSE '' END AS filler
   FROM (
@@ -130,9 +174,11 @@ turns_base AS (
       {_first_name2_case} || ' Person' || lpad(CAST(o.o_custkey + 500000 AS STRING), 6, '0') AS person2,
       {_nick_case} || ' Person' || lpad(CAST(o.o_custkey AS STRING), 6, '0') AS nickperson,
       substr({_first_name_case}, 1, 1) || '. Person' || lpad(CAST(o.o_custkey AS STRING), 6, '0') AS initialperson,
+      {_samesake_case} || ' Person' || lpad(CAST(o.o_custkey AS STRING), 6, '0') AS surnamesake,
       'Org' || lpad(CAST(o.o_orderkey % 10 + 1 AS STRING), 3, '0') AS org,
       'Org' || lpad(CAST(o.o_orderkey % 10 + 1 AS STRING), 3, '0') || ' Inc' AS org_inc,
       'Org' || lpad(CAST(o.o_orderkey % 10 + 1 AS STRING), 3, '0') || ' Ltd' AS org_ltd,
+      'Org' || lpad(CAST(o.o_orderkey % 10 + 1 AS STRING), 3, '0') || ' Securities' AS org_sec,
       n.n_name AS country,
       replace(n.n_name, ' ', '') || 'ville' AS city,
       CAST(o.o_orderkey % 63 + 18 AS STRING) AS age,
@@ -290,8 +336,12 @@ def detector_config(countries: list[str]) -> list[tuple[str, str]]:
     order resolves overlaps (URL before NUMBER, DATE before NUMBER, ...).
     """
     country_alt = "|".join(sorted(map(re.escape, countries), key=len, reverse=True))
-    first_alt = "|".join(list(FIRST_NAMES) + sorted(NICKNAMES, key=len, reverse=True))
-    suffix_alt = "|".join(CORP_SUFFIXES)
+    first_alt = "|".join(
+        list(FIRST_NAMES)
+        + sorted(NICKNAMES, key=len, reverse=True)
+        + sorted(SURNAMESAKES.values())
+    )
+    suffix_alt = "|".join(CORP_SUFFIXES + ORG_DESCRIPTORS)
     return [
         ("URL", r"\bwww\.[a-z0-9]+\.com\b"),
         ("PERSON", rf"\b(?:(?:{first_alt}) Person[0-9]{{6}}|[A-Z]\. Person[0-9]{{6}})\b"),

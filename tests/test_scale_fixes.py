@@ -207,16 +207,25 @@ def test_same_entity_blocking_hot_block_capped(spark):
     ents = spark.createDataFrame(hot + cold, "entity_name string, entity_type string")
 
     pairs = blocked_candidate_pairs(ents, max_block=cap, neighborhood=k)
-    n_pairs = pairs.count()
-    assert 0 < n_pairs <= n * k + 1  # +1 for the cold Acme pair
+    pair_set = {(r["src"], r["dst"]) for r in pairs.collect()}
+    assert 0 < len(pair_set) <= n * k + 1  # +1 for the cold Acme pair
+    # adjacent hot-block members are still JUDGED (pair generated) ...
+    assert ("John000 Smith", "John001 Smith") in pair_set
     # the cold block is untouched by the cap: full pairing finds Acme
     edges = {(r["src"], r["dst"]) for r in same_entity_edges(
         ents, max_block=cap, neighborhood=k
     ).collect()}
     assert ("Acme Corp", "Acme Corporation") in edges
-    # adjacent near-typos in the hot block are still judged (and merge:
-    # edit distance 1 on the normalized form)
-    assert ("John000 Smith", "John001 Smith") in edges
+    # ... but digit-differing surfaces are NOT typos (round-4 digit
+    # guard): John000 and John001 are distinct people
+    assert ("John000 Smith", "John001 Smith") not in edges
+    # a genuine letter typo in the hot block still merges
+    assert not same_entity_edges(
+        spark.createDataFrame(
+            [("John Smith", "PERSON"), ("Johno Smith", "PERSON")],
+            "entity_name string, entity_type string",
+        )
+    ).isEmpty()
 
 
 def test_same_entity_blocking_cold_path_unchanged(spark):
