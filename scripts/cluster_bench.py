@@ -61,7 +61,9 @@ spark = (
     .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
     .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
+    # UI stays on: the REST API is the per-executor peak-memory source
+    # (per-round memory-growth evidence, BENCH/BASELINE.md)
+    .config("spark.ui.enabled", "true")
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("WARN")
@@ -74,25 +76,68 @@ from stanford_relation_extractor_spark.plans import pipeline as P
 # no input repartition here: the extraction's conversation clustering
 # re-repartitions by conv_id anyway (an upfront round-robin exchange of
 # the full input was pure wasted shuffle in every timed run)
+def spool_bytes():
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if not scratch:
+        return None
+    total = 0
+    for root, _dirs, files in os.walk(scratch):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def peak_executor_memory():
+    # per-executor peak JVM heap via the driver UI REST API — the
+    # bounded-memo / capped-block evidence as input grows
+    import urllib.request
+    try:
+        ui = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(f"{{ui}}/api/v1/applications/{{app}}/executors", timeout=10) as r:
+            execs = json.loads(r.read())
+        peaks = [
+            e.get("peakMemoryMetrics", {{}}).get("JVMHeapMemory")
+            for e in execs if e.get("id") != "driver"
+        ]
+        peaks = [p for p in peaks if p is not None]
+        return max(peaks) if peaks else None
+    except Exception:
+        return None
+
+
 inp = spark.read.parquet({amp_path!r})
 n = inp.count()
 times, stage_times = [], []
+max_spool = 0
 for _ in range({runs}):
     t0 = time.monotonic()
     stages = build_stages(spark, {sf_dir!r}, transcripts=inp)
     stages["votes_cut"]                      # materializes the vote spool
     t_extract = round(time.monotonic() - t0, 3)
+    sb = spool_bytes()
+    max_spool = max(max_spool, sb or 0)
+    c0 = time.monotonic()
+    stages["surfaces"]                       # distinct-surface job
+    t_surf = round(time.monotonic() - c0, 3)
+    c1 = time.monotonic()
+    stages["canon_map"]                      # size-gated canon build
+    t_canon = round(time.monotonic() - c1, 3)
     e0 = time.monotonic()
-    # canon + ensemble together: the candidates builder overlaps the
-    # phase-1 ensemble scan with the canonicalization window on a
-    # background thread — forcing canon_map first would serialize them
     stages["triples"].write.format("noop").mode("overwrite").save()
     t_tail = round(time.monotonic() - e0, 3)
     times.append(round(time.monotonic() - t0, 3))
-    stage_times.append({{"extract_spool": t_extract, "canon_tail": t_tail}})
+    stage_times.append({{"extract_spool": t_extract, "surfaces": t_surf,
+                         "canon_window": t_canon, "ensemble_tail": t_tail,
+                         "canon_tail": round(t_surf + t_canon + t_tail, 3)}})
     P._cleanup_spools()                      # keep /dev/shm flat across runs
 print(json.dumps({{"n_exec": n_exec, "turns": n, "times": times,
-                   "sec": min(times), "stages": stage_times}}))
+                   "sec": min(times), "stages": stage_times,
+                   "spool_bytes": max_spool,
+                   "peak_executor_jvm_heap": peak_executor_memory()}}))
 spark.stop()
 """
 
@@ -210,6 +255,9 @@ def main() -> None:
                     acc["times"] += blk["times"]
                     acc["stages"] += blk.get("stages", [])
                     acc["sec"] = min(acc["sec"], blk["sec"])
+                    for fld in ("spool_bytes", "peak_executor_jvm_heap"):
+                        if blk.get(fld):
+                            acc[fld] = max(acc.get(fld) or 0, blk[fld])
     finally:
         stop_cluster()
     thr_lo = lo["turns"] / lo["sec"]
@@ -227,6 +275,10 @@ def main() -> None:
         "times_at_4n": hi["times"],
         "stages_at_n": lo.get("stages"),
         "stages_at_4n": hi.get("stages"),
+        "spool_bytes_at_n": lo.get("spool_bytes"),
+        "spool_bytes_at_4n": hi.get("spool_bytes"),
+        "peak_executor_jvm_heap_at_n": lo.get("peak_executor_jvm_heap"),
+        "peak_executor_jvm_heap_at_4n": hi.get("peak_executor_jvm_heap"),
         "sec_at_n": lo["sec"],
         "sec_at_4n": hi["sec"],
         "turns_per_sec_at_n": round(thr_lo, 1),

@@ -191,6 +191,189 @@ def vote_surfaces(votes: DataFrame) -> DataFrame:
     return ent.union(slot).distinct()
 
 
+# Size gate for the driver-local canon-map fast path — the broadcast-
+# join threshold analog: below it, the whole dictionary/link/cascade/CC
+# chain runs as one driver computation instead of ~15 driver-sequenced
+# small-stage Spark jobs (measured ~8s of pure serial window at
+# local[32], ~13s at executor-count-scaling protocols, on a surface set
+# of only ~75k rows — THE Amdahl term that held N->4N efficiency at
+# 0.74). Above the gate (real corpora: surfaces grow with data) the
+# distributed path runs and the window scales with executors instead of
+# being fixed. Override with SPARK_GRAFT_CANON_LOCAL_MAX=0 to force
+# the distributed path.
+CANON_LOCAL_MAX_SURFACES = 250_000
+
+
+def _canon_local_max() -> int:
+    import os
+
+    try:
+        return int(
+            os.environ.get("SPARK_GRAFT_CANON_LOCAL_MAX", CANON_LOCAL_MAX_SURFACES)
+        )
+    except ValueError:
+        return CANON_LOCAL_MAX_SURFACES
+
+
+def _local_wikidict_link(
+    surfaces: list[str], alias_rows: list[tuple[str, str, float]]
+) -> dict[str, str]:
+    """Driver twin of linking.wikidict_link (J5 margin rule): surface ->
+    linked canonical for accepted links only. Bit-identical semantics:
+    top-1 by (score desc, canonical asc) over ALL candidate rows
+    (duplicates included), accept iff top1 >= 0.4 and (no top2 or
+    top1 >= 1.5 * top2)."""
+    from .linking import ACCEPT_MARGIN, ACCEPT_SCORE
+
+    by_alias: dict[str, list[tuple[str, float]]] = {}
+    for alias, canonical, score in alias_rows:
+        by_alias.setdefault(alias, []).append((canonical, score))
+    out: dict[str, str] = {}
+    for s in surfaces:
+        cands = by_alias.get(s.lower())
+        if not cands:
+            continue
+        scores = sorted((sc for _c, sc in cands), reverse=True)
+        top1 = scores[0]
+        top2 = scores[1] if len(scores) > 1 else None
+        if top1 < ACCEPT_SCORE or (top2 is not None and top1 < ACCEPT_MARGIN * top2):
+            continue
+        best = min(((-sc, c) for c, sc in cands))[1]
+        if best != s:
+            out[s] = best
+    return out
+
+
+def _local_dict_rewrite(
+    surface: str, nicknames: dict[str, str], suffixes: tuple[str, ...]
+) -> str:
+    """Driver twin of nickname_canonical + strip_corporate_suffix."""
+    import re
+
+    first, sep, rest = surface.partition(" ")
+    mapped = nicknames.get(first, first)
+    s = mapped + sep + rest
+    return re.sub(f" ({'|'.join(suffixes)})$", "", s)
+
+
+def _local_cascade_edges(
+    surfaces: list[tuple[str, str]], max_block: int, neighborhood: int
+) -> list[tuple[str, str]]:
+    """Driver twin of blocked_candidate_pairs + same_entity judging
+    (both key families, hot-block re-key, sorted-neighborhood tier)."""
+    from ..functions.text import (
+        blocking_key,
+        blocking_key_ext,
+        blocking_key_first,
+        blocking_key_first_ext,
+        same_entity,
+    )
+
+    keyed: list[tuple[str, str, str, str]] = []  # (name, et, block, block_ext)
+    for name, et in surfaces:
+        b = blocking_key(name)
+        if b:
+            keyed.append((name, et, b, blocking_key_ext(name)))
+        if et == "ORGANIZATION":
+            bf = blocking_key_first(name)
+            if bf:
+                keyed.append((name, et, bf, blocking_key_first_ext(name)))
+    counts: dict[tuple[str, str], int] = {}
+    for _n, et, b, _e in keyed:
+        counts[(et, b)] = counts.get((et, b), 0) + 1
+    rekeyed = [
+        (n, et, e if counts[(et, b)] > max_block else b) for n, et, b, e in keyed
+    ]
+    counts2: dict[tuple[str, str], int] = {}
+    for _n, et, b in rekeyed:
+        counts2[(et, b)] = counts2.get((et, b), 0) + 1
+    blocks: dict[tuple[str, str], list[str]] = {}
+    for n, et, b in rekeyed:
+        blocks.setdefault((et, b), []).append(n)
+    edges: list[tuple[str, str]] = []
+    for (et, _b), members in blocks.items():
+        if len(members) <= max_block:
+            ms = sorted(members)
+            for i, a in enumerate(ms):
+                for b2 in ms[i + 1:]:
+                    if a != b2 and same_entity(a, b2, et):
+                        edges.append((a, b2))
+        else:
+            ms = sorted(members)
+            for i, a in enumerate(ms):
+                for d in range(1, neighborhood + 1):
+                    if i + d < len(ms) and same_entity(a, ms[i + d], et):
+                        edges.append((a, ms[i + d]))
+    return edges
+
+
+def _local_components(
+    edges: list[tuple[str, str]]
+) -> dict[str, str]:
+    """Driver twin of connected_components: node -> min-node component."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[str, list[str]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in comp.values() for n in members}
+
+
+def build_canon_map_local(
+    spark,
+    surface_rows: list[tuple[str, str]],
+    alias_rows: list[tuple[str, str, float]],
+    nicknames: dict[str, str],
+    suffixes: tuple[str, ...],
+    include_cascade: bool = True,
+    max_block: int = 64,
+    neighborhood: int = 8,
+) -> DataFrame:
+    """Driver-local twin of ``build_canon_map`` for surface sets under
+    the size gate: identical edge generation (dictionary rewrites,
+    wikidict margin links, capped-block cascade), connected components,
+    and pure-target representative selection — asserted row-identical
+    to the distributed path by tests/test_canon_local_parity.py and by
+    the driver's canonical_map oracle."""
+    surfaces = sorted({(s, n) for s, n in surface_rows})
+    names = [s for s, _ in surfaces]
+    directed: list[tuple[str, str]] = []
+    for s in names:
+        dst = _local_dict_rewrite(s, nicknames, suffixes)
+        if dst != s:
+            directed.append((s, dst))
+    linked = _local_wikidict_link(sorted(set(names)), alias_rows)
+    directed += [(s, c) for s, c in linked.items()]
+    edges = list(directed)
+    if include_cascade:
+        edges += _local_cascade_edges(surfaces, max_block, neighborhood)
+    comp = _local_components(edges)
+    sources = {s for s, _d in directed}
+    targets = {d for _s, d in directed}
+    pure = targets - sources
+    by_comp: dict[str, list[str]] = {}
+    for n, c in comp.items():
+        by_comp.setdefault(c, []).append(n)
+    rows: list[tuple[str, str]] = []
+    for c, members in by_comp.items():
+        pure_members = [m for m in members if m in pure]
+        rep = min(pure_members) if pure_members else c
+        rows.extend((n, rep) for n in members if n != rep)
+    return spark.createDataFrame(sorted(rows) or [], "node string, rep string")
+
+
 def build_canon_map(
     surfaces: DataFrame,
     alias_dict: DataFrame,
@@ -225,6 +408,30 @@ def build_canon_map(
     from pyspark.sql import functions as F
 
     from .linking import nickname_canonical, strip_corporate_suffix, wikidict_link
+
+    # size-gated driver-local fast path (see CANON_LOCAL_MAX_SURFACES):
+    # ONE collect job replaces the edges/CC/rep chain of driver-
+    # sequenced small jobs; falls through to the distributed path the
+    # moment either the surface set or the alias dictionary exceeds the
+    # gate (the limit(n+1) makes the probe itself O(gate))
+    local_max = _canon_local_max()
+    if local_max > 0:
+        sample = surfaces.select("surface", "ner").limit(local_max + 1).collect()
+        if len(sample) <= local_max:
+            alias_rows = (
+                alias_dict.select("alias", "canonical", "link_score")
+                .limit(4 * local_max + 1)
+                .collect()
+            )
+            if len(alias_rows) <= 4 * local_max:
+                return build_canon_map_local(
+                    surfaces.sparkSession,
+                    [(r[0], r[1]) for r in sample],
+                    [(r[0], r[1], float(r[2])) for r in alias_rows],
+                    nicknames,
+                    suffixes,
+                    include_cascade,
+                )
 
     surf = surfaces.select("surface", "ner").distinct()
     dict_dst = strip_corporate_suffix(

@@ -161,10 +161,17 @@ def gold_to_pr_frame(
 ) -> DataFrame:
     """Reduce parsed assessments to the (entity_name, relation,
     slot_value, equiv_class) frame ``pr_score``/``pr_curve`` consume:
-    keep CORRECT judgments only (CustomSFScore counts X/R separately;
-    set-level P/R uses C), resolve query ids to entity names via the
-    optional ``queries`` table (query_id, entity_name) — the task-XML
-    query map (S7). Without it the query id IS the entity name."""
+    keep CORRECT judgments only, resolve query ids to entity names via
+    the optional ``queries`` table (query_id, entity_name) — the
+    task-XML query map (S7). Without it the query id IS the entity name.
+
+    DIVERGENCE NOTE: this is SET-level P/R — the X (inexact) and R
+    (redundant) judgments and the wrong-fill anti-credit of the
+    official scorer are deliberately dropped here, so numbers will NOT
+    match published TAC scores. For the official counting semantics
+    (CustomSFScore X/R/W, single-valued first-response rule,
+    equivalence-class redundancy) use
+    ``operators.evaluate.official_score``."""
     g = gold.filter(F.col("judgment") == "C")
     if queries is not None:
         g = (
