@@ -90,23 +90,30 @@ def spool_bytes():
     return total
 
 
-def peak_executor_memory():
-    # per-executor peak JVM heap via the driver UI REST API — the
-    # bounded-memo / capped-block evidence as input grows
+def executor_metrics():
+    # per-executor peak JVM heap + cumulative GC time via the driver UI
+    # REST API — the bounded-memo / capped-block / GC-pressure evidence
+    # as input grows
     import urllib.request
     try:
         ui = spark.sparkContext.uiWebUrl
         app = spark.sparkContext.applicationId
         with urllib.request.urlopen(f"{{ui}}/api/v1/applications/{{app}}/executors", timeout=10) as r:
             execs = json.loads(r.read())
+        workers = [e for e in execs if e.get("id") != "driver"]
         peaks = [
-            e.get("peakMemoryMetrics", {{}}).get("JVMHeapMemory")
-            for e in execs if e.get("id") != "driver"
+            e.get("peakMemoryMetrics", {{}}).get("JVMHeapMemory") for e in workers
         ]
         peaks = [p for p in peaks if p is not None]
-        return max(peaks) if peaks else None
+        gc_ms = [e.get("totalGCTime") for e in workers if e.get("totalGCTime") is not None]
+        task_ms = [e.get("totalDuration") for e in workers if e.get("totalDuration") is not None]
+        return (
+            max(peaks) if peaks else None,
+            sum(gc_ms) if gc_ms else None,
+            sum(task_ms) if task_ms else None,
+        )
     except Exception:
-        return None
+        return (None, None, None)
 
 
 inp = spark.read.parquet({amp_path!r})
@@ -134,10 +141,13 @@ for _ in range({runs}):
                          "canon_window": t_canon, "ensemble_tail": t_tail,
                          "canon_tail": round(t_surf + t_canon + t_tail, 3)}})
     P._cleanup_spools()                      # keep /dev/shm flat across runs
+peak_heap, gc_ms, task_ms = executor_metrics()
 print(json.dumps({{"n_exec": n_exec, "turns": n, "times": times,
                    "sec": min(times), "stages": stage_times,
                    "spool_bytes": max_spool,
-                   "peak_executor_jvm_heap": peak_executor_memory()}}))
+                   "peak_executor_jvm_heap": peak_heap,
+                   "total_gc_ms": gc_ms,
+                   "total_task_ms": task_ms}}))
 spark.stop()
 """
 
@@ -255,7 +265,10 @@ def main() -> None:
                     acc["times"] += blk["times"]
                     acc["stages"] += blk.get("stages", [])
                     acc["sec"] = min(acc["sec"], blk["sec"])
-                    for fld in ("spool_bytes", "peak_executor_jvm_heap"):
+                    for fld in (
+                        "spool_bytes", "peak_executor_jvm_heap",
+                        "total_gc_ms", "total_task_ms",
+                    ):
                         if blk.get(fld):
                             acc[fld] = max(acc.get(fld) or 0, blk[fld])
     finally:
@@ -279,6 +292,10 @@ def main() -> None:
         "spool_bytes_at_4n": hi.get("spool_bytes"),
         "peak_executor_jvm_heap_at_n": lo.get("peak_executor_jvm_heap"),
         "peak_executor_jvm_heap_at_4n": hi.get("peak_executor_jvm_heap"),
+        "total_gc_ms_at_n": lo.get("total_gc_ms"),
+        "total_gc_ms_at_4n": hi.get("total_gc_ms"),
+        "total_task_ms_at_n": lo.get("total_task_ms"),
+        "total_task_ms_at_4n": hi.get("total_task_ms"),
         "sec_at_n": lo["sec"],
         "sec_at_4n": hi["sec"],
         "turns_per_sec_at_n": round(thr_lo, 1),
