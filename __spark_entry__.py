@@ -361,7 +361,55 @@ def _real_queries_2013(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stanford_relation_extractor_spark.sources.taskxml import queries_df
 
     with open(QUERIES_2013_XML) as fh:
-        return queries_df(spark, fh.read())
+        q = queries_df(spark, fh.read())
+    # The driver's rows-only canonicalizer sorts a pandas frame; an
+    # array<string> column is unhashable there (r4 err trace).  Project a
+    # stable scalar shape for the check — engine consumers
+    # (filter_ignored_slots) keep the array column via queries_df itself.
+    return q.withColumn(
+        "ignored_slots", F.array_join(F.sort_array("ignored_slots"), " ")
+    )
+
+
+def _real_cities_gazetteer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stanford_relation_extractor_spark.sources.gazetteers import cities_gazetteer
+
+    return cities_gazetteer(spark)
+
+
+def _real_city_primary_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stanford_relation_extractor_spark.sources.gazetteers import (
+        cities_gazetteer,
+        city_primary_region,
+    )
+
+    return city_primary_region(cities_gazetteer(spark))
+
+
+def _real_country_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stanford_relation_extractor_spark.sources.gazetteers import alt_country_names
+
+    return alt_country_names(spark)
+
+
+def _real_name_nicknames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stanford_relation_extractor_spark.sources.gazetteers import name_nicknames_all
+
+    return name_nicknames_all(spark)
+
+
+def _real_city_nicknames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stanford_relation_extractor_spark.sources.gazetteers import city_nicknames
+
+    return city_nicknames(spark)
+
+
+def _real_geo_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stanford_relation_extractor_spark.operators.worldknowledge import (
+        real_geo_consistency,
+    )
+
+    return real_geo_consistency(spark)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -400,6 +448,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "real_gold_2009": _real_gold_2009,
         "official_score_2013": _official_score_2013,
         "real_queries_2013": _real_queries_2013,
+        "real_cities_gazetteer": _real_cities_gazetteer,
+        "real_city_primary_region": _real_city_primary_region,
+        "real_country_aliases": _real_country_aliases,
+        "real_name_nicknames": _real_name_nicknames,
+        "real_city_nicknames": _real_city_nicknames,
+        "real_geo_consistency": _real_geo_consistency,
         **_datapipe_queries(),
     }
 
@@ -430,6 +484,12 @@ def _realgold():
     from stanford_relation_extractor_spark.sources import realgold_oracle
 
     return realgold_oracle
+
+
+def _gazoracle():
+    from stanford_relation_extractor_spark.sources import gazetteer_oracle
+
+    return gazetteer_oracle
 
 
 def _duckdb_materialize(sql: str) -> str:
@@ -503,6 +563,12 @@ def oracle_sql() -> dict[str, str]:
         "official_score_2013": _realgold().official_score_2013_sql(),
         # real_queries_2013 intentionally has no oracle (XML parse —
         # driver records the weaker rows-only check)
+        "real_cities_gazetteer": _gazoracle().cities_gazetteer_sql(),
+        "real_city_primary_region": _gazoracle().city_primary_region_sql(),
+        "real_country_aliases": _gazoracle().country_aliases_sql(),
+        "real_name_nicknames": _gazoracle().name_nicknames_sql(),
+        "real_city_nicknames": _gazoracle().city_nicknames_sql(),
+        "real_geo_consistency": _gazoracle().geo_consistency_real_sql(),
         "wikidict_link": oracle_query_linking(
             """
 , wmentions AS (SELECT DISTINCT nickperson AS surface FROM turns_base),

@@ -207,12 +207,17 @@ CANON_LOCAL_MAX_SURFACES = 250_000
 def _canon_local_max() -> int:
     import os
 
-    try:
-        return int(
-            os.environ.get("SPARK_GRAFT_CANON_LOCAL_MAX", CANON_LOCAL_MAX_SURFACES)
-        )
-    except ValueError:
+    raw = os.environ.get("SPARK_GRAFT_CANON_LOCAL_MAX")
+    if raw is None:
         return CANON_LOCAL_MAX_SURFACES
+    try:
+        return int(raw)
+    except ValueError:
+        # a typo'd "=0 forces distributed" override must not silently
+        # keep the local path
+        raise ValueError(
+            f"SPARK_GRAFT_CANON_LOCAL_MAX={raw!r} is not an integer"
+        ) from None
 
 
 def _local_wikidict_link(
@@ -284,9 +289,6 @@ def _local_cascade_edges(
     rekeyed = [
         (n, et, e if counts[(et, b)] > max_block else b) for n, et, b, e in keyed
     ]
-    counts2: dict[tuple[str, str], int] = {}
-    for _n, et, b in rekeyed:
-        counts2[(et, b)] = counts2.get((et, b), 0) + 1
     blocks: dict[tuple[str, str], list[str]] = {}
     for n, et, b in rekeyed:
         blocks.setdefault((et, b), []).append(n)
@@ -380,7 +382,7 @@ def build_canon_map(
     nicknames: dict[str, str],
     suffixes: tuple[str, ...],
     include_cascade: bool = True,
-    max_iter: int = 4,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Stage 4+5 production canonicalization — the reference's flagship
     entity-merging path (`evaluate/GraphConsistencyPostProcessors.java:53-249`
@@ -464,13 +466,15 @@ def build_canon_map(
     all_edges = all_edges.localCheckpoint(eager=True)
     directed = all_edges.filter(F.col("_tag") == "d").drop("_tag")
     edges = all_edges.drop("_tag")
-    # lazy CC (no per-iteration jobs): the alias/link graph has diameter
-    # <= 2 (every edge points at a canonical target), so a fixed small
-    # iteration count suffices and the whole loop rides the single
-    # canon_map materialization job below
+    # CC to CONVERGENCE, not a fixed truncation: a cascade chain of
+    # edit-distance-1 surfaces can have arbitrary diameter, and a
+    # truncated label propagation maps nodes onto non-representatives
+    # (divergent from the driver-local union-find twin — r4 ADVICE).
+    # check_every=4 keeps the convergence test to ONE extra action on
+    # the typical diameter<=3 alias/link graph (checks fire at
+    # iterations 4, 8, ...; the first quiet check breaks the loop).
     comps = connected_components(
-        edges, max_iter=max_iter, check_every=max_iter + 1,
-        checkpoint_every=max_iter + 1,
+        edges, max_iter=max_iter, check_every=4, checkpoint_every=8,
     )
     sources = directed.select(F.col("src").alias("node")).distinct()
     targets = directed.select(F.col("dst").alias("node")).distinct()

@@ -40,6 +40,119 @@ def geo_cities_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def real_geo_consistency(spark: SparkSession) -> DataFrame:
+    """consistentCityCountry + canonicalizeCountry over the REFERENCE'S
+    REAL gazetteer (`WorldKnowledgePostProcessor.java:288-295,326-335`
+    over `kbp_cities.tab` / `kbp_code2*.tab` /
+    `kbp_alternate_country_names.tab`) — the deterministic probe the
+    driver cross-checks against independent read_csv SQL
+    (sources.gazetteer_oracle.geo_consistency_real_sql):
+
+    * for every country, its alphabetically-first city is paired with
+      (a) that country — consistent — and (b) the NEXT country in name
+      order — a deliberate mismatch unless the city genuinely also
+      exists there;
+    * the stated country value routes through an alternate name (the
+      max >4-char alias) where one exists, so the check exercises the
+      canonicalizeCountry chain (countries set -> long lowercase alias
+      -> short case-sensitive alias -> country code) before the
+      city -> region -> country membership test.
+
+    Every gazetteer table is dimension-sized and broadcast; the output
+    is two rows per country (~500 rows).
+    """
+    from pyspark.sql import Window
+
+    from ..sources.gazetteers import (
+        alt_country_names,
+        cities_gazetteer,
+        code2country,
+    )
+
+    g = cities_gazetteer(spark).filter(
+        F.col("region").isNotNull() & F.col("country").isNotNull()
+    )
+    # ONE scan of the resolved dimension feeds four branches
+    g = g.localCheckpoint(eager=True)
+    city2region = g.select("city", "region").distinct()
+    region2country = g.select("region", "country").distinct()
+    ccp = (
+        city2region.join(region2country, "region").select("city", "country").distinct()
+    )
+    first_city = g.groupBy("country").agg(F.min("city").alias("city0"))
+    paired = first_city.withColumn(
+        "shifted_city", F.lead("city0").over(Window.orderBy("country"))
+    )
+    aliases = alt_country_names(spark).localCheckpoint(eager=True)
+    # the reference's alternateName2country is a single-valued map; ties
+    # (one alias shipped under two countries) resolve to min(country)
+    alias_map = aliases.groupBy("alias_key").agg(F.min("country").alias("country"))
+    alias_pick = (
+        aliases.filter(F.length("alias_key") > 4)
+        .groupBy("country")
+        .agg(F.max("alias_key").alias("_alias"))
+    )
+    fills = paired.join(F.broadcast(alias_pick), "country", "left").select(
+        F.col("country").alias("true_country"),
+        F.coalesce(F.col("_alias"), F.col("country")).alias("stated"),
+        "city0",
+        "shifted_city",
+    )
+    cand = fills.select("true_country", "stated", F.col("city0").alias("city")).unionByName(
+        fills.filter(F.col("shifted_city").isNotNull()).select(
+            "true_country", "stated", F.col("shifted_city").alias("city")
+        )
+    )
+    # canonicalizeCountry chain as priority-ordered broadcast left joins
+    countries = code2country(spark)
+    norm = F.lower(F.trim(F.col("stated")))
+    c1 = F.broadcast(countries.select(F.col("country").alias("_c1")).distinct())
+    canon = cand.join(c1, norm == F.col("_c1"), "left")
+    a_long = F.broadcast(
+        alias_map.select(F.col("alias_key").alias("_ak2"), F.col("country").alias("_c2"))
+    )
+    canon = canon.join(
+        a_long,
+        (F.length("stated") > 4) & (norm == F.col("_ak2")),
+        "left",
+    )
+    a_short = F.broadcast(
+        alias_map.select(F.col("alias_key").alias("_ak3"), F.col("country").alias("_c3"))
+    )
+    canon = canon.join(
+        a_short,
+        (F.length("stated") <= 4) & (F.trim(F.col("stated")) == F.col("_ak3")),
+        "left",
+    )
+    codes = F.broadcast(
+        countries.select(
+            F.col("country_code").alias("_cc4"), F.col("country").alias("_c4")
+        )
+    )
+    canon = canon.join(codes, F.trim(F.col("stated")) == F.col("_cc4"), "left")
+    canon = canon.select(
+        "true_country",
+        "stated",
+        "city",
+        F.coalesce("_c1", "_c2", "_c3", "_c4", norm).alias("resolved_country"),
+    )
+    checked = canon.join(
+        F.broadcast(
+            ccp.select(F.col("city").alias("_city"), F.col("country").alias("_ok_c"))
+        ),
+        (F.col("city") == F.col("_city"))
+        & (F.col("resolved_country") == F.col("_ok_c")),
+        "left",
+    )
+    return checked.select(
+        F.concat(F.lit("Q_"), F.col("true_country")).alias("entity"),
+        "city",
+        F.col("stated").alias("stated_country"),
+        "resolved_country",
+        F.col("_ok_c").isNotNull().alias("consistent"),
+    )
+
+
 def validate_city_slots(triples: DataFrame, geo_cities: DataFrame) -> DataFrame:
     """Drop CITY-typed fills absent from the gazetteer (isValidCity)."""
     known = F.broadcast(geo_cities.select(F.col("city").alias("_city")))

@@ -93,6 +93,29 @@ def test_local_path_matches_distributed_on_hot_blocks_and_margins(spark):
     assert as_dict.get("Bobby Person000001") == "Bob Person000001"
 
 
+def test_long_chain_component_matches_union_find(spark):
+    """r4 ADVICE: a >4-diameter edit-distance-1 chain ('abbbbb Smith' ..
+    'aaaaaa Smith', each adjacent pair one typo apart) must collapse to
+    ONE representative on BOTH paths — the distributed CC used to stop
+    at 4 fixed label-propagation rounds and split/mislabel the chain."""
+    chain = [("a" * (6 - i) + "b" * i + " Smith", "PERSON") for i in range(6)]
+    surfaces = spark.createDataFrame(chain, "surface string, ner string")
+    alias_dict = spark.createDataFrame(
+        [], "alias string, canonical string, link_score double"
+    )
+    dist, local = _both_paths(spark, surfaces, alias_dict)
+    assert dist == local
+    as_dict = dict(dist)
+    reps = set(as_dict.values())
+    mapped = set(as_dict)
+    # the whole chain lands on one representative, and every mapped
+    # node maps onto the true representative (idempotency: no node maps
+    # onto another mapped node)
+    if as_dict:
+        assert len(reps) == 1
+        assert not (reps & mapped)
+
+
 def test_gate_forces_distributed_beyond_threshold(spark):
     """With the gate at 1, the distributed path runs (probe collects at
     most gate+1 rows) and still produces the same map."""
