@@ -336,6 +336,30 @@ def _real_gold_2009(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_gold_tab(spark, GOLD_2009_TAB, year=2009)
 
 
+def _real_gold_2011(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stanford_relation_extractor_spark.sources.goldtab import (
+        GOLD_2011_DIR,
+        read_gold_tab,
+    )
+
+    return read_gold_tab(spark, GOLD_2011_DIR, year=2011)
+
+
+def _real_gold_2012(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stanford_relation_extractor_spark.sources.goldtab import (
+        GOLD_2012_DIR,
+        read_gold_tab,
+    )
+
+    return read_gold_tab(spark, GOLD_2012_DIR, year=2012)
+
+
+def _real_slots_2013(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stanford_relation_extractor_spark.sources.goldtab import read_slots_file
+
+    return read_slots_file(spark)
+
+
 def _official_score_2013(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CustomSFScore X/R/W semantics on the real 2013 gold: responses =
     the deterministic line_id % 7 sample of the assessments themselves."""
@@ -446,6 +470,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gold_tab_roundtrip": _gold_tab_roundtrip,
         "real_gold_2013": _real_gold_2013,
         "real_gold_2009": _real_gold_2009,
+        "real_gold_2011": _real_gold_2011,
+        "real_gold_2012": _real_gold_2012,
+        "real_slots_2013": _real_slots_2013,
         "official_score_2013": _official_score_2013,
         "real_queries_2013": _real_queries_2013,
         "real_cities_gazetteer": _real_cities_gazetteer,
@@ -560,6 +587,9 @@ def oracle_sql() -> dict[str, str]:
         "gold_tab_roundtrip": orc.gold_tab_roundtrip_sql(),
         "real_gold_2013": _realgold().gold_2013_sql(),
         "real_gold_2009": _realgold().gold_2009_sql(),
+        "real_gold_2011": _realgold().gold_2011_sql(),
+        "real_gold_2012": _realgold().gold_2012_sql(),
+        "real_slots_2013": _realgold().slots_2013_sql(),
         "official_score_2013": _realgold().official_score_2013_sql(),
         # real_queries_2013 intentionally has no oracle (XML parse —
         # driver records the weaker rows-only check)

@@ -16,7 +16,7 @@ works on millions of crowd judgments.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 JUDGMENTS = ("C", "X", "R", "W")  # CustomSFScore constants; 'I' dropped
@@ -28,6 +28,9 @@ JUDGMENTS = ("C", "X", "R", "W")  # CustomSFScore constants; 'I' dropped
 REFERENCE_KBP_DIR = "/root/reference/stanford-kbp/edu/stanford/nlp/kbp"
 GOLD_2013_TAB = f"{REFERENCE_KBP_DIR}/evaluation_results/2013.tab"
 GOLD_2009_TAB = f"{REFERENCE_KBP_DIR}/evaluation_results/2009.tab"
+GOLD_2011_DIR = f"{REFERENCE_KBP_DIR}/evaluation_results/2011.dir"
+GOLD_2012_DIR = f"{REFERENCE_KBP_DIR}/evaluation_results/2012.dir"
+SLOTS_2013 = f"{REFERENCE_KBP_DIR}/evaluation_results/2013.slots"
 QUERIES_2013_XML = f"{REFERENCE_KBP_DIR}/evaluation_queries/2013.xml"
 
 # Canonical (RelationType.toString) -> KBP-2013 official relation name,
@@ -124,12 +127,92 @@ def parse_gold_tab_2009(lines: DataFrame, column: str = "value") -> DataFrame:
     )
 
 
+def _judgment_letter(code: Column) -> Column:
+    return F.element_at(
+        F.create_map(*[F.lit(x) for kv in JUDGMENT_CODES.items() for x in kv]),
+        code,
+    )
+
+
+def parse_gold_2011(lines: DataFrame, column: str = "value") -> DataFrame:
+    """(line_id, query_id, relation, docid, slot_value, judgment,
+    equiv_class) from 2011-format per-query assessment files —
+    `GoldResponseSet.grok2011`: WHITESPACE-separated fields
+    ``[0]`` line id, ``[1]`` ``QID:ns:rel`` (3 colon parts), ``[2]``
+    doc id, ``[3]`` integer judgment, ``[4]`` equivalence class,
+    ``[5..]`` the slot value re-joined with single spaces (the Java
+    split/join collapses internal whitespace runs; its limit-11 tail
+    preservation is provably a no-op on every shipped 2011 line —
+    verified exhaustively — so both engines use the unlimited split)."""
+    f = F.split(F.col(column), r"\s+")
+    qparts = F.split(F.element_at(f, 2), ":")
+    return (
+        lines.filter(F.size(f) >= 6)
+        .select(
+            F.element_at(f, 1).cast("int").alias("line_id"),
+            F.element_at(qparts, 1).alias("query_id"),
+            F.concat_ws(":", F.element_at(qparts, 2), F.element_at(qparts, 3)).alias(
+                "relation"
+            ),
+            F.element_at(f, 3).alias("docid"),
+            F.array_join(F.slice(f, F.lit(6), F.size(f)), " ").alias("slot_value"),
+            _judgment_letter(F.element_at(f, 4).cast("int")).alias("judgment"),
+            F.element_at(f, 5).cast("int").alias("equiv_class"),
+        )
+        .filter(F.col("judgment").isNotNull())
+    )
+
+
+def parse_gold_2012(lines: DataFrame, column: str = "value") -> DataFrame:
+    """2012-format per-query assessment files —
+    `GoldResponseSet.grok2012`: exactly 10 TAB fields, ``[0]`` line id,
+    ``[1]`` ``QID:ns:rel``, ``[2]`` doc id, ``[3]`` integer judgment,
+    ``[4]`` equivalence class, ``[5]`` slot value (UNtrimmed, exactly
+    as the Java reader leaves it)."""
+    f = F.split(F.col(column), "\t")
+    qparts = F.split(F.element_at(f, 2), ":")
+    return (
+        lines.filter(F.size(f) == 10)
+        .select(
+            F.element_at(f, 1).cast("int").alias("line_id"),
+            F.element_at(qparts, 1).alias("query_id"),
+            F.concat_ws(":", F.element_at(qparts, 2), F.element_at(qparts, 3)).alias(
+                "relation"
+            ),
+            F.element_at(f, 3).alias("docid"),
+            F.element_at(f, 6).alias("slot_value"),
+            _judgment_letter(F.element_at(f, 4).cast("int")).alias("judgment"),
+            F.element_at(f, 5).cast("int").alias("equiv_class"),
+        )
+        .filter(F.col("judgment").isNotNull())
+    )
+
+
+def read_slots_file(spark, path: str = SLOTS_2013) -> DataFrame:
+    """(query_id, relation) from an official ``.slots`` scope file
+    (`KBPEvaluator.java:335` hands it to the official SFScore2013
+    invocation): one ``QID:ns:relation`` per line — the universe of
+    assessed slots."""
+    f = F.col("value")
+    return spark.read.text(path).select(
+        F.substring_index(f, ":", 1).alias("query_id"),
+        F.expr("substring(value, instr(value, ':') + 1)").alias("relation"),
+    )
+
+
 def read_gold_tab(spark, path: str = GOLD_2013_TAB, year: int = 2013) -> DataFrame:
-    """Parse a real on-disk assessment file (2013 12-field letter format
-    or 2009/2010 11-field integer format)."""
+    """Parse a real on-disk assessment source: 2013 12-field letter
+    .tab, 2009/2010 11-field integer .tab, or the 2011/2012 per-query
+    ``.dir`` layouts (``path`` is the directory; ``spark.read.text``
+    scans every per-query file in it — `GoldResponseSet.java:441-449`
+    fetchFiles loop)."""
     lines = spark.read.text(path)
     if year >= 2013:
         return parse_gold_tab(lines)
+    if year == 2012:
+        return parse_gold_2012(lines)
+    if year == 2011:
+        return parse_gold_2011(lines)
     return parse_gold_tab_2009(lines)
 
 

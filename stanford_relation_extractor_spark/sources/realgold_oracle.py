@@ -15,8 +15,11 @@ from __future__ import annotations
 
 from .goldtab import (
     GOLD_2009_TAB,
+    GOLD_2011_DIR,
+    GOLD_2012_DIR,
     GOLD_2013_TAB,
     JUDGMENT_CODES,
+    SLOTS_2013,
     official_cardinality_2013,
 )
 
@@ -75,6 +78,66 @@ SELECT CAST(c01 AS INTEGER) AS line_id,
        CAST(c10 AS INTEGER) AS equiv_class
 FROM {_read11(path)}
 WHERE CASE CAST(c11 AS INTEGER) {whens} END IS NOT NULL
+"""
+
+
+def _read_lines(path_glob: str) -> str:
+    return (
+        f"read_csv('{path_glob}', delim=chr(1), header=false, quote='', "
+        f"escape='', columns={{'line': 'VARCHAR'}})"
+    )
+
+
+_JUDGMENT_WHENS = " ".join(
+    f"WHEN {code} THEN '{letter}'" for code, letter in JUDGMENT_CODES.items()
+)
+
+
+def gold_2011_sql(path: str = GOLD_2011_DIR) -> str:
+    """grok2011: whitespace-split fields [0]=line id, [1]=QID:ns:rel
+    (3 colon parts), [2]=docid, [3]=integer judgment, [4]=equivalence
+    class, [5..]=slot value re-joined with single spaces; one file per
+    query in the directory (glob)."""
+    return f"""
+SELECT CAST(f[1] AS INTEGER) AS line_id,
+       string_split(f[2], ':')[1] AS query_id,
+       string_split(f[2], ':')[2] || ':' || string_split(f[2], ':')[3] AS relation,
+       f[3] AS docid,
+       array_to_string(f[6:], ' ') AS slot_value,
+       CASE CAST(f[4] AS INTEGER) {_JUDGMENT_WHENS} END AS judgment,
+       CAST(f[5] AS INTEGER) AS equiv_class
+FROM (SELECT regexp_split_to_array(line, '\\s+') AS f
+      FROM {_read_lines(path + "/*")})
+WHERE len(f) >= 6
+  AND CASE CAST(f[4] AS INTEGER) {_JUDGMENT_WHENS} END IS NOT NULL
+"""
+
+
+def gold_2012_sql(path: str = GOLD_2012_DIR) -> str:
+    """grok2012: exactly 10 TAB fields; [0]=line id, [1]=QID:ns:rel,
+    [2]=docid, [3]=integer judgment, [4]=equivalence class, [5]=slot
+    value (untrimmed)."""
+    return f"""
+SELECT CAST(f[1] AS INTEGER) AS line_id,
+       string_split(f[2], ':')[1] AS query_id,
+       string_split(f[2], ':')[2] || ':' || string_split(f[2], ':')[3] AS relation,
+       f[3] AS docid,
+       f[6] AS slot_value,
+       CASE CAST(f[4] AS INTEGER) {_JUDGMENT_WHENS} END AS judgment,
+       CAST(f[5] AS INTEGER) AS equiv_class
+FROM (SELECT string_split(line, chr(9)) AS f
+      FROM {_read_lines(path + "/*")})
+WHERE len(f) = 10
+  AND CASE CAST(f[4] AS INTEGER) {_JUDGMENT_WHENS} END IS NOT NULL
+"""
+
+
+def slots_2013_sql(path: str = SLOTS_2013) -> str:
+    """The official .slots scope file: QID:ns:relation per line."""
+    return f"""
+SELECT split_part(line, ':', 1) AS query_id,
+       substr(line, instr(line, ':') + 1) AS relation
+FROM {_read_lines(path)}
 """
 
 

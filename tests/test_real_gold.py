@@ -172,3 +172,64 @@ def test_official_score_real_2013_sample(spark):
     # every sampled response has a judgment: W+X+R+C == responses
     assert row.n_correct + row.n_redundant + row.n_wrong + row.n_inexact == row.n_responses
     assert 0.0 < row.precision < 1.0 and 0.0 < row.recall <= 1.0
+
+
+@needs_reference
+def test_real_gold_2011_dir_parse(spark):
+    """grok2011 over the per-query .dir layout: whitespace split,
+    3-part colon query key, slot value re-joined with single spaces."""
+    from pyspark.sql import functions as F
+
+    from stanford_relation_extractor_spark.sources.goldtab import (
+        GOLD_2011_DIR,
+    )
+
+    g = read_gold_tab(spark, GOLD_2011_DIR, year=2011)
+    assert g.count() == 28041
+    assert g.schema.simpleString() == (
+        "struct<line_id:int,query_id:string,relation:string,docid:string,"
+        "slot_value:string,judgment:string,equiv_class:int>"
+    )
+    # internal whitespace runs collapse exactly as Java's split+join
+    dawa = g.filter(
+        (F.col("query_id") == "SF503") & F.col("slot_value").contains("Dawa")
+    ).collect()
+    assert any(r.slot_value == "Dawa party and various S hiite" for r in dawa)
+    # judgment codes map to the 2013 letters
+    assert {r.judgment for r in g.select("judgment").distinct().collect()} <= {
+        "C", "W", "R", "X"
+    }
+    # relation keeps the raw comma form the .dir filenames encode
+    assert g.filter(F.col("relation") == "org:top_members,employees").count() > 0
+
+
+@needs_reference
+def test_real_gold_2012_dir_parse(spark):
+    from pyspark.sql import functions as F
+
+    from stanford_relation_extractor_spark.sources.goldtab import (
+        GOLD_2012_DIR,
+    )
+
+    g = read_gold_tab(spark, GOLD_2012_DIR, year=2012)
+    assert g.count() == 22885
+    first = g.filter(
+        (F.col("query_id") == "SF_ENG_001")
+        & (F.col("relation") == "per:alternate_names")
+        & (F.col("line_id") == 2)
+    ).collect()[0]
+    assert first.slot_value == "Juanita Millender"
+    assert first.judgment == "W" and first.equiv_class == 0
+
+
+@needs_reference
+def test_slots_2013_scope_file(spark):
+    from pyspark.sql import functions as F
+
+    from stanford_relation_extractor_spark.sources.goldtab import read_slots_file
+
+    s = read_slots_file(spark)
+    assert s.count() == 1940
+    assert s.filter(
+        (F.col("query_id") == "SF13_ENG_001") & (F.col("relation") == "per:age")
+    ).count() == 1
