@@ -257,6 +257,86 @@ def official_score(
     )
 
 
+def perturbed_response_set(
+    triples: DataFrame, cardinality: dict[str, str]
+) -> tuple[DataFrame, DataFrame]:
+    """(responses, gold) built FROM a triple set so ``official_score``
+    exercises every C/X/R/W branch on the engine's OWN pipeline output
+    (the end-to-end loop `KBPEvaluator.java:310-340` runs: system fills
+    -> official output -> scorer) — deterministic, no RNG, mirrored
+    exactly by the DuckDB oracle (oracle_rules.official_score_pipeline_sql).
+
+    Spec (key_len = len(entity)+len(relation)+len(slot)):
+
+    * query id IS the entity name (the synthetic corpus has no TAC query
+      file; the real-XML id mapping is exercised by `real_queries_2013`);
+      docid = 'D_' || key_len % 10.
+    * gold: every distinct triple judged C; equivalence class =
+      dense_rank of slot within (query, relation); line_id = global
+      row_number by (query, relation, slot). Triples with key_len % 3
+      == 0 also plant an X-judged gold row for slot || ' Jr' in the
+      SAME equivalence class (line_id + 100000).
+    * responses (resp_order = gold line_id):
+      key_len % 6 == 0 -> answer slot || ' Jr'   (judged X),
+      elif key_len % 7 == 0 -> slot || ' ZZZ'    (unjudged -> W),
+      else the true slot                          (judged C);
+      LIST-relation triples with key_len % 5 == 0 answer TWICE
+      (resp_order + 500000) — the second C lands REDUNDANT.
+
+    Global windows are fine here: the response set is the final triple
+    table (thousands of rows at evaluation scale, like the reference's
+    in-memory response list), not the corpus.
+    """
+    t = triples.select("entity_name", "relation", "slot_value").distinct()
+    key_len = (
+        F.length("entity_name") + F.length("relation") + F.length("slot_value")
+    ).alias("_kl")
+    t = t.select(
+        F.col("entity_name").alias("query_id"), "relation", "slot_value", key_len
+    ).withColumn("docid", F.concat(F.lit("D_"), (F.col("_kl") % 10).cast("string")))
+    w_line = Window.orderBy("query_id", "relation", "slot_value")
+    w_ec = Window.partitionBy("query_id", "relation").orderBy("slot_value")
+    base = t.withColumn("line_id", F.row_number().over(w_line)).withColumn(
+        "equiv_class", F.dense_rank().over(w_ec)
+    )
+    gold_c = base.select(
+        "line_id", "query_id", "relation", "docid", "slot_value",
+        F.lit("C").alias("judgment"), "equiv_class", "_kl",
+    )
+    gold_x = gold_c.filter(F.col("_kl") % 3 == 0).select(
+        (F.col("line_id") + 100000).alias("line_id"),
+        "query_id", "relation", "docid",
+        F.concat(F.col("slot_value"), F.lit(" Jr")).alias("slot_value"),
+        F.lit("X").alias("judgment"), "equiv_class", "_kl",
+    )
+    gold = gold_c.unionByName(gold_x).drop("_kl")
+
+    answer = (
+        F.when(F.col("_kl") % 6 == 0, F.concat(F.col("slot_value"), F.lit(" Jr")))
+        .when(F.col("_kl") % 7 == 0, F.concat(F.col("slot_value"), F.lit(" ZZZ")))
+        .otherwise(F.col("slot_value"))
+    )
+    resp1 = base.select(
+        "query_id", "relation", "docid", answer.alias("slot_value"),
+        F.col("line_id").alias("resp_order"), "_kl",
+    )
+    card = F.broadcast(
+        triples.sparkSession.createDataFrame(
+            sorted(cardinality.items()), "relation string, card string"
+        )
+    )
+    dup = (
+        resp1.join(card, "relation")
+        .filter((F.col("card") == "LIST") & (F.col("_kl") % 5 == 0))
+        .select(
+            "query_id", "relation", "docid", "slot_value",
+            (F.col("resp_order") + 500000).alias("resp_order"), "_kl",
+        )
+    )
+    responses = resp1.unionByName(dup).drop("_kl")
+    return responses, gold
+
+
 def nil_padded_output(triples: DataFrame, queries: DataFrame, spark: SparkSession) -> DataFrame:
     """Sorted official output with NIL padding (S10).
 

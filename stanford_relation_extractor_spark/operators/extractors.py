@@ -272,8 +272,38 @@ VOTES_SCHEMA = (
 VOTE_COLUMNS = [f.strip().split(" ")[0] for f in VOTES_SCHEMA.split(",")]
 
 
-def _compiled_pattern_bank() -> dict[str, list[re.Pattern[str]]]:
-    return {rel: [re.compile(p) for p in pats] for rel, pats in PATTERN_BANK.items()}
+_PATTERN_WEIGHTS_CACHE: dict[str, float] | None = None
+
+
+def _pattern_weights() -> dict[str, float]:
+    """Per-relation pattern vote score from the shipped `.rules` files'
+    trailing confidences (rulesfiles.relation_pattern_weights — max
+    weight of the file, since the bank regex stands in for the whole
+    file and first-match-wins). Relations without shipped weights fall
+    back to PATTERN_WEIGHT; so does everything when the reference data
+    directory is not mounted (production deployments ship the weight
+    table as config instead)."""
+    global _PATTERN_WEIGHTS_CACHE
+    if _PATTERN_WEIGHTS_CACHE is None:
+        try:
+            from ..sources.rulesfiles import relation_pattern_weights
+
+            _PATTERN_WEIGHTS_CACHE = relation_pattern_weights()
+        except OSError:
+            _PATTERN_WEIGHTS_CACHE = {}
+    return _PATTERN_WEIGHTS_CACHE
+
+
+def _compiled_pattern_bank() -> dict[str, tuple[list[re.Pattern[str]], float]]:
+    """relation -> (compiled patterns, vote weight)."""
+    weights = _pattern_weights()
+    return {
+        rel: (
+            [re.compile(p) for p in pats],
+            weights.get(rel, PATTERN_WEIGHT),
+        )
+        for rel, pats in PATTERN_BANK.items()
+    }
 
 
 def _compiled_trigger_bank() -> list[tuple[re.Pattern[str], dict[str, str]]]:
@@ -318,7 +348,7 @@ def slot_sanity_ok(relation: str, slot_value: str, entity_name: str) -> bool:
 def votes_for_sentence(
     sent: str,
     mentions: list[dict[str, Any]],
-    pattern_bank: dict[str, list[re.Pattern[str]]],
+    pattern_bank: dict[str, tuple[list[re.Pattern[str]], float]],
     trigger_bank: list[tuple[re.Pattern[str], dict[str, str]]],
     stat: tuple[list[dict], list[str], dict] | None = None,
 ) -> list[tuple[Any, ...]]:
@@ -342,13 +372,16 @@ def votes_for_sentence(
                 ent["surface"], ent["ner"], ent["begin"], ent["end"],
                 slot["surface"], slot["ner"], slot["begin"], slot["end"],
             )
-            # pattern extractor: first matching rule per relation wins
+            # pattern extractor: first matching rule per relation wins;
+            # the vote score is the relation's shipped `.rules` weight
+            # where the file carries one (see _pattern_weights)
             for rel in rels:
                 if not slot_sanity_ok(rel, slot["surface"], ent["surface"]):
                     continue
-                for rx in pattern_bank.get(rel, ()):
+                pats, pw = pattern_bank.get(rel, ((), PATTERN_WEIGHT))
+                for rx in pats:
                     if rx.search(masked):
-                        out.append(base + (rel, "pattern", PATTERN_WEIGHT))
+                        out.append(base + (rel, "pattern", pw))
                         break
             # trigger extractor: dependency-path stand-in
             trig_rels: set[str] = set()

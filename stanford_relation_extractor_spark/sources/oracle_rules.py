@@ -67,6 +67,16 @@ PATTERN_WEIGHT = 0.9
 TRIGGER_WEIGHT = 0.8
 WINDOW_WEIGHT = 0.4
 
+
+def _pattern_weight(rel: str) -> float:
+    """Pattern vote score: the relation's shipped `.rules` trailing
+    confidence (max of the file) where one exists, else PATTERN_WEIGHT
+    — mirrors extractors._pattern_weights via the SAME parse of the
+    reference's files-as-data (rulesfiles.relation_pattern_weights)."""
+    from .rulesfiles import relation_pattern_weights
+
+    return relation_pattern_weights().get(rel, PATTERN_WEIGHT)
+
 # column -> entity/NER type of each planted mention, per template k
 TEMPLATE_MENTIONS: dict[int, list[tuple[str, str]]] = {
     0: [("person", "PERSON"), ("age", "NUMBER"), ("country", "COUNTRY")],
@@ -365,7 +375,9 @@ def votes_union_sql(extractors: tuple[str, ...] | None = None) -> str:
     for k in sorted(TEMPLATE_MENTIONS):
         if keep("pattern"):
             for ecol, scol, rel in PATTERN_VOTES[k]:
-                branches.append(_vote_select(k, ecol, scol, rel, "pattern", PATTERN_WEIGHT))
+                branches.append(
+                    _vote_select(k, ecol, scol, rel, "pattern", _pattern_weight(rel))
+                )
         if keep("trigger"):
             for ecol, scol, rel in TRIGGER_VOTES[k]:
                 branches.append(_vote_select(k, ecol, scol, rel, "trigger", TRIGGER_WEIGHT))

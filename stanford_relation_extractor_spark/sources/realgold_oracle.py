@@ -141,19 +141,13 @@ FROM {_read_lines(path)}
 """
 
 
-def official_score_2013_sql(path: str = GOLD_2013_TAB, modulus: int = 7) -> str:
-    """The full CustomSFScore pipeline in SQL over the real 2013 file,
-    with the deterministic response sample (line_id % modulus == 0) the
-    driver query uses: judgment-key resolution (first-C-wins, else
-    last line), single-valued first-response rule, list-valued
-    equivalence-class redundancy, unjudged->WRONG, NIL skip, fake
-    recall over answered slots."""
-    card_values = ", ".join(
-        f"('{rel}', '{c}')"
-        for rel, c in sorted(official_cardinality_2013().items())
-    )
+def official_score_body(card_values: str) -> str:
+    """The CustomSFScore counting pipeline as a CTE tail. Expects two
+    CTEs already defined upstream: ``gold`` (line_id, query_id,
+    relation, docid, slot_value, judgment, equiv_class) and ``resp0``
+    (query_id, relation, docid, slot_value, resp_order). Produces the
+    one-row OFFICIAL_SCORE_SCHEMA select."""
     return f"""
-WITH gold AS ({gold_2013_sql(path)}),
 g2 AS (
   SELECT *, CASE WHEN equiv_class = 0 THEN 'g' || line_id
                  ELSE CAST(equiv_class AS VARCHAR) END AS eclass
@@ -169,10 +163,8 @@ jkey AS (
 ),
 card(relation, card) AS (VALUES {card_values}),
 resp AS (
-  SELECT g.query_id, g.relation, g.docid, g.slot_value,
-         g.line_id AS resp_order, c.card
-  FROM gold g JOIN card c ON c.relation = g.relation
-  WHERE g.line_id % {modulus} = 0
+  SELECT r.query_id, r.relation, r.docid, r.slot_value, r.resp_order, c.card
+  FROM resp0 r JOIN card c ON c.relation = r.relation
 ),
 sv AS (
   SELECT coalesce(j.judgment, 'W') AS judgment
@@ -237,4 +229,25 @@ SELECT CAST(a.n_answers AS BIGINT) AS n_answers,
                          + CAST(c.n_correct AS DOUBLE) / nullif(a.n_answers, 0), 0),
                   6) AS DOUBLE) AS f1
 FROM counts c, answers a
+"""
+
+
+def official_score_2013_sql(path: str = GOLD_2013_TAB, modulus: int = 7) -> str:
+    """The full CustomSFScore pipeline in SQL over the real 2013 file,
+    with the deterministic response sample (line_id % modulus == 0) the
+    driver query uses: judgment-key resolution (first-C-wins, else
+    last line), single-valued first-response rule, list-valued
+    equivalence-class redundancy, unjudged->WRONG, NIL skip, fake
+    recall over answered slots."""
+    card_values = ", ".join(
+        f"('{rel}', '{c}')"
+        for rel, c in sorted(official_cardinality_2013().items())
+    )
+    return f"""
+WITH gold AS ({gold_2013_sql(path)}),
+resp0 AS (
+  SELECT query_id, relation, docid, slot_value, line_id AS resp_order
+  FROM gold WHERE line_id % {modulus} = 0
+),
+{official_score_body(card_values)}
 """

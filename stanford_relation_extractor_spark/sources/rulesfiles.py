@@ -19,6 +19,7 @@ author did not hand-mirror.
 
 from __future__ import annotations
 
+import functools as _functools
 import os
 import re
 
@@ -122,6 +123,36 @@ def rules_lexicon(rules_dir: str = RULES_DIR) -> dict[str, set[str]]:
                 if mac not in _STRUCTURAL_MACROS:
                     lex |= macros.get(mac, set())
         out[rel] = out.get(rel, set()) | lex
+    return out
+
+
+@_functools.lru_cache(maxsize=4)
+def relation_pattern_weights(rules_dir: str = RULES_DIR) -> dict[str, float]:
+    """canonical relation -> the MAX trailing confidence its `.rules`
+    file ships (the mined-pattern weights on the '// From Ce's
+    Features' rule blocks; unweighted rules contribute nothing).
+
+    The engine's PATTERN_BANK regex is a corpus-shaped stand-in for the
+    whole file and first-match-wins, so where the file ships weights the
+    stand-in votes the file's strongest confidence instead of the
+    uniform PATTERN_WEIGHT (the reference runtime itself scores every
+    heuristic match +inf -> normalized 1.0 regardless of these numbers
+    — `HeuristicRelationExtractor.java:77` — so this is a deliberate,
+    documented use of shipped data the reference parses but flattens).
+    Relations whose file carries no weighted rules are ABSENT (callers
+    fall back to PATTERN_WEIGHT)."""
+    out: dict[str, float] = {}
+    for fn in sorted(os.listdir(rules_dir)):
+        if not fn.endswith(".rules") or fn == "defs.rules":
+            continue
+        rel = relation_for_file(fn)
+        ws = [
+            r["weight"]
+            for r in parse_rules_file(os.path.join(rules_dir, fn))
+            if r["weight"] is not None
+        ]
+        if ws:
+            out[rel] = max(out.get(rel, 0.0), max(ws))
     return out
 
 

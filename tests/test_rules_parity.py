@@ -122,3 +122,43 @@ def test_ledger_binds_on_bank_drift():
     drifted["per:spouse"] = PATTERN_BANK["per:spouse"] + [r"E wedded S"]
     eo = rf.engine_only_words(drifted)
     assert "wedded" in eo.get("per:spouse", set())
+
+
+def test_weighted_rules_vote_their_file_weight():
+    """Round-5: where a shipped `.rules` file carries trailing
+    confidences, the relation's pattern votes score the file's MAX
+    weight instead of the uniform PATTERN_WEIGHT; unweighted files keep
+    PATTERN_WEIGHT (extractors._pattern_weights <-
+    rulesfiles.relation_pattern_weights)."""
+    import re
+
+    from stanford_relation_extractor_spark.operators.extractors import (
+        PATTERN_WEIGHT,
+        _compiled_pattern_bank,
+        _compiled_trigger_bank,
+        votes_for_sentence,
+    )
+    from stanford_relation_extractor_spark.operators.mentions import detect
+    from stanford_relation_extractor_spark.sources.rulesfiles import (
+        relation_pattern_weights,
+    )
+    from stanford_relation_extractor_spark.sources.synthetic import detector_config
+
+    weights = relation_pattern_weights()
+    # the shipped mined-pattern weights exist for exactly these families
+    assert weights["per:spouse"] == 0.833333
+    assert "per:age" not in weights
+
+    pbank = _compiled_pattern_bank()
+    tbank = _compiled_trigger_bank()
+    matchers = [(ner, re.compile(rx)) for ner, rx in detector_config(["NATION_2"])]
+
+    sent = "Alice Person000001 is married to David Person500001 ."
+    votes = votes_for_sentence(sent, detect(sent, matchers), pbank, tbank)
+    spouse = [v for v in votes if v[8] == "per:spouse" and v[9] == "pattern"]
+    assert spouse and all(v[10] == weights["per:spouse"] for v in spouse)
+
+    sent2 = "Alice Person000001 , 34 , arrived ."
+    votes2 = votes_for_sentence(sent2, detect(sent2, matchers), pbank, tbank)
+    age = [v for v in votes2 if v[8] == "per:age" and v[9] == "pattern"]
+    assert age and all(v[10] == PATTERN_WEIGHT for v in age)
