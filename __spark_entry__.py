@@ -378,6 +378,23 @@ def _official_score_2013(spark: SparkSession, sf_dir: str) -> DataFrame:
     return official_score(resp, gold, official_cardinality_2013())
 
 
+def _official_score_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end KBPEvaluator loop (`KBPEvaluator.java:310-340`):
+    the engine's OWN final triples -> deterministic perturbed response
+    set exercising every C/X/R/W branch -> CustomSFScore."""
+    from stanford_relation_extractor_spark.ontology import RELATIONS
+    from stanford_relation_extractor_spark.operators.evaluate import (
+        official_score,
+        perturbed_response_set,
+    )
+    from stanford_relation_extractor_spark.plans.pipeline import build_stages
+
+    triples = build_stages(spark, sf_dir)["triples"]
+    card = {r.name: r.cardinality for r in RELATIONS}
+    resp, gold = perturbed_response_set(triples, card)
+    return official_score(resp, gold, card)
+
+
 def _real_queries_2013(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real 2013 query XML through the S7 parser (rows-only check:
     XML is outside DuckDB's reach)."""
@@ -474,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "real_gold_2012": _real_gold_2012,
         "real_slots_2013": _real_slots_2013,
         "official_score_2013": _official_score_2013,
+        "official_score_pipeline": _official_score_pipeline,
         "real_queries_2013": _real_queries_2013,
         "real_cities_gazetteer": _real_cities_gazetteer,
         "real_city_primary_region": _real_city_primary_region,
@@ -591,6 +609,7 @@ def oracle_sql() -> dict[str, str]:
         "real_gold_2012": _realgold().gold_2012_sql(),
         "real_slots_2013": _realgold().slots_2013_sql(),
         "official_score_2013": _realgold().official_score_2013_sql(),
+        "official_score_pipeline": orc.official_score_pipeline_sql(),
         # real_queries_2013 intentionally has no oracle (XML parse —
         # driver records the weaker rows-only check)
         "real_cities_gazetteer": _gazoracle().cities_gazetteer_sql(),

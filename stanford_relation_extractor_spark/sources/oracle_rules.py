@@ -1081,3 +1081,55 @@ FROM inf2
     from .synthetic import oracle_query_linking
 
     return duckdb_materialize(oracle_query_linking(body, recursive=True))
+
+
+def official_score_pipeline_sql(threshold: float = 0.5) -> str:
+    """A10 end-to-end (`KBPEvaluator.java:310-340`): the engine's OWN
+    final triples -> the deterministic perturbed response set
+    (``evaluate.perturbed_response_set`` spec, mirrored clause for
+    clause) -> the CustomSFScore counting pipeline
+    (``realgold_oracle.official_score_body``)."""
+    from .realgold_oracle import official_score_body
+    from .synthetic import oracle_query_linking
+
+    card_values = ", ".join(
+        f"('{name}', '{r.cardinality}')"
+        for name, r in sorted(RELATION_BY_NAME.items())
+    )
+    body = _final_body(threshold) + f"""
+, pt AS (
+  SELECT DISTINCT entity_name AS query_id, relation, slot_value,
+         length(entity_name) + length(relation) + length(slot_value) AS kl
+  FROM final_out
+), pbase AS (
+  SELECT *, 'D_' || CAST(kl % 10 AS VARCHAR) AS docid,
+         row_number() OVER (ORDER BY query_id, relation, slot_value) AS line_id,
+         dense_rank() OVER (
+           PARTITION BY query_id, relation ORDER BY slot_value) AS equiv_class
+  FROM pt
+), gold AS (
+  SELECT line_id, query_id, relation, docid, slot_value,
+         'C' AS judgment, equiv_class
+  FROM pbase
+  UNION ALL
+  SELECT line_id + 100000, query_id, relation, docid, slot_value || ' Jr',
+         'X', equiv_class
+  FROM pbase WHERE kl % 3 = 0
+), card0(relation, card) AS (VALUES {card_values}),
+resp1 AS (
+  SELECT query_id, relation, docid,
+         CASE WHEN kl % 6 = 0 THEN slot_value || ' Jr'
+              WHEN kl % 7 = 0 THEN slot_value || ' ZZZ'
+              ELSE slot_value END AS slot_value,
+         line_id AS resp_order, kl
+  FROM pbase
+), resp0 AS (
+  SELECT query_id, relation, docid, slot_value, resp_order FROM resp1
+  UNION ALL
+  SELECT r.query_id, r.relation, r.docid, r.slot_value, r.resp_order + 500000
+  FROM resp1 r JOIN card0 c USING (relation)
+  WHERE c.card = 'LIST' AND r.kl % 5 = 0
+),
+{official_score_body(card_values)}
+"""
+    return duckdb_materialize(oracle_query_linking(body, recursive=True))

@@ -233,3 +233,51 @@ def test_slots_2013_scope_file(spark):
     assert s.filter(
         (F.col("query_id") == "SF13_ENG_001") & (F.col("relation") == "per:age")
     ).count() == 1
+
+
+def test_perturbed_response_set_hand_computed(spark):
+    """The end-to-end pipeline scorer's response generator, on a tiny
+    hand-sized triple set where every key_len branch is computed by hand
+    (kl = len(entity)+len(relation)+len(slot)):
+
+    * Bob/per:title (LIST, base kl=12):
+      'Boss' kl=16 -> C;  'CEO of X' kl=20 -> C, and kl%5==0 doubles the
+      response so the second C lands REDUNDANT;  'VP' kl=14 (%7==0) ->
+      answers 'VP ZZZ', unjudged -> W;  'Chair' kl=17 -> C;
+      'Regent' kl=18 (%6==0) -> answers 'Regent Jr', and kl%3==0 planted
+      an X-judged gold row for exactly that string -> X.
+    * Al/per:city_of_birth (SINGLE, kl=23 both): only the FIRST response
+      in line order ('Oslo' < 'Rome') is scored -> one C.
+
+    Totals: 7 responses, 4 C, 1 R, 1 W, 1 X; fake-recall denominator =
+    1 single-valued answered slot + 5 list equivalence classes = 6.
+    """
+    from stanford_relation_extractor_spark.operators.evaluate import (
+        official_score,
+        perturbed_response_set,
+    )
+
+    triples = spark.createDataFrame(
+        [
+            ("Bob", "per:title", "Boss"),
+            ("Bob", "per:title", "CEO of X"),
+            ("Bob", "per:title", "VP"),
+            ("Bob", "per:title", "Chair"),
+            ("Bob", "per:title", "Regent"),
+            ("Al", "per:city_of_birth", "Oslo"),
+            ("Al", "per:city_of_birth", "Rome"),
+        ],
+        "entity_name string, relation string, slot_value string",
+    )
+    card = {"per:title": "LIST", "per:city_of_birth": "SINGLE"}
+    resp, gold = perturbed_response_set(triples, card)
+    assert resp.count() == 8  # 7 base responses + 1 LIST dup
+    assert gold.count() == 8  # 7 C rows + 1 planted X ('Regent Jr')
+    row = official_score(resp, gold, card).first()
+    assert (
+        row.n_responses, row.n_correct, row.n_redundant, row.n_wrong, row.n_inexact
+    ) == (7, 4, 1, 1, 1)
+    assert row.n_answers == 6
+    assert row.precision == round(4 / 7, 6)
+    assert row.recall == round(4 / 6, 6)
+    assert row.f1 == round(16 / 26, 6)
