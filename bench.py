@@ -37,10 +37,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    def bench(name: str, df) -> None:
-        t0 = time.monotonic()
-        force(df)
-        timings[name] = round(time.monotonic() - t0, 3)
+    def bench(name: str, df, repeats: int = 3) -> None:
+        # best-of-N: the sandbox host is time-shared, and a single
+        # contended run once doubled every stage time while e2e moved
+        # only 8% (BENCH_r04 vs r03) — the min of three discards both
+        # the warm-up iteration and transient contention.
+        best = None
+        for _ in range(repeats):
+            t0 = time.monotonic()
+            force(df)
+            dt = time.monotonic() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
 
     bench("q_mentions", stages["sentences"])
     bench("q_votes", stages["votes"])
@@ -58,7 +66,7 @@ def main() -> None:
     # on this sandbox; see BENCH/BASELINE.md), so run twice and report
     # the steady state as the headline, first-run alongside.
     runs = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.monotonic()
         force(build_stages(spark, SF_DIR)["triples"])
         runs.append(round(time.monotonic() - t0, 3))

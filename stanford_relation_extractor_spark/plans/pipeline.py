@@ -27,7 +27,7 @@ from ..operators.canonicalize import (
     vote_surfaces,
 )
 from ..operators.consistency import apply_consistency
-from ..operators.ensemble import AGREE_MOST, combine_votes
+from ..operators.ensemble import AGREE_MOST, combine_votes, prune_votes_for_ensemble
 from ..operators.extractors import extract_votes, extract_votes_fused
 from ..operators.mentions import detect_mentions
 from ..sources.synthetic import (
@@ -148,7 +148,16 @@ def build_stages(
         # (measured: the ensemble's first run at local[32] was 10-20x
         # slower with checkpoint blocks resident; columnar spool keeps
         # the heap flat and the re-scan in whole-stage codegen).
-        "votes_cut": lambda: _parquet_spool(votes, spark, "votes"),
+        # the spool is projected to the ensemble's working set: the 7
+        # provenance columns collapse into the single sortable
+        # _vote_key string HERE (one codegen projection inside the
+        # extraction pass), so the spool write/read and every row held
+        # through the ensemble stage carry 8 columns instead of 14 —
+        # the x256 scaling tail was executor-heap-bound, and this is
+        # the working-set half of that fix (BENCH/BASELINE.md)
+        "votes_cut": lambda: _parquet_spool(
+            prune_votes_for_ensemble(votes), spark, "votes"
+        ),
         # materialized: the surface set feeds the dictionary-edge,
         # wikidict, cascade AND alternate-name branches — one tiny cut
         # beats re-scanning the vote spool per branch
