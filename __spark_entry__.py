@@ -284,6 +284,25 @@ def _inferred_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bayesnet_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLN/BayesNet joint MAP over the final triple store + gazetteer
+    (rows-only driver check: an iterative per-cluster MAP solver is not
+    SQL-expressible; the solver's semantics are pinned by
+    tests/test_bayesnet.py against the reference's own BayesNetTest
+    expectations)."""
+    from stanford_relation_extractor_spark.operators.bayesnet import (
+        infer_map_triples,
+    )
+    from stanford_relation_extractor_spark.operators.worldknowledge import (
+        geo_cities_df,
+    )
+    from stanford_relation_extractor_spark.plans.pipeline import build_stages
+
+    return infer_map_triples(
+        build_stages(spark, sf_dir)["triples"], geo_cities_df(spark, sf_dir), spark
+    )
+
+
 def _pr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stanford_relation_extractor_spark.operators.evaluate import pr_score
     from stanford_relation_extractor_spark.plans.pipeline import build_stages
@@ -483,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_approximate_fills": _dedup_approx,
         "geo_consistency": _geo_consistency,
         "inferred_triples": _inferred_triples,
+        "bayesnet_map": _bayesnet_map,
         "pr_score": _pr_score,
         "gold_tab_roundtrip": _gold_tab_roundtrip,
         "real_gold_2013": _real_gold_2013,

@@ -47,7 +47,7 @@ spark = (
     SparkSession.builder.master({master!r})
     .appName(f"cluster_bench_{{n_exec}}x{{cores}}")
     .config("spark.executor.cores", str(cores))
-    .config("spark.executor.memory", "18g")
+    .config("spark.executor.memory", {mem!r})
     .config("spark.cores.max", str(cores * n_exec))
     .config("spark.sql.shuffle.partitions", str(2 * cores * n_exec))
     # the vote spool lands as many small snappy files; the default 128MB
@@ -116,6 +116,20 @@ def executor_metrics():
         return (None, None, None)
 
 
+def shuffle_bytes():
+    # cumulative shuffle write across all completed stages — the
+    # working-set-pruning before/after evidence (BENCH/BASELINE.md)
+    import urllib.request
+    try:
+        ui = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(f"{{ui}}/api/v1/applications/{{app}}/stages?status=complete", timeout=10) as r:
+            st = json.loads(r.read())
+        return sum(s.get("shuffleWriteBytes", 0) for s in st)
+    except Exception:
+        return None
+
+
 inp = spark.read.parquet({amp_path!r})
 n = inp.count()
 times, stage_times = [], []
@@ -145,6 +159,7 @@ peak_heap, gc_ms, task_ms = executor_metrics()
 print(json.dumps({{"n_exec": n_exec, "turns": n, "times": times,
                    "sec": min(times), "stages": stage_times,
                    "spool_bytes": max_spool,
+                   "shuffle_write_bytes": shuffle_bytes(),
                    "peak_executor_jvm_heap": peak_heap,
                    "total_gc_ms": gc_ms,
                    "total_task_ms": task_ms}}))
@@ -218,11 +233,12 @@ reps = spark.range({factor}).select(F.col("id").alias("_rep"))
 
 
 def run_level(
-    n_exec: int, sf_dir: str, amp_path: str, zip_path: str, runs: int, cores: int
+    n_exec: int, sf_dir: str, amp_path: str, zip_path: str, runs: int, cores: int,
+    mem: str = "18g",
 ) -> dict:
     code = CHILD.format(
         repo=REPO, n_exec=n_exec, master=MASTER, zip_path=zip_path,
-        amp_path=amp_path, sf_dir=sf_dir, runs=runs, cores=cores,
+        amp_path=amp_path, sf_dir=sf_dir, runs=runs, cores=cores, mem=mem,
     )
     env = dict(os.environ)
     env["PYSPARK_PYTHON"] = sys.executable
@@ -243,6 +259,11 @@ def main() -> None:
     factor = int(next((a.split("=")[1] for a in sys.argv if a.startswith("--factor=")), 16))
     runs = int(next((a.split("=")[1] for a in sys.argv if a.startswith("--runs=")), 3))
     cores = int(next((a.split("=")[1] for a in sys.argv if a.startswith("--cores=")), 8))
+    # memory-per-EXECUTOR at each level; --mem applies to both, --mem4n
+    # overrides the 4N level (the heap-headroom-matched protocol: the
+    # worker cap is 96g, so e.g. --mem4n=22g keeps 4x22g under it)
+    mem = next((a.split("=")[1] for a in sys.argv if a.startswith("--mem=")), "18g")
+    mem4n = next((a.split("=")[1] for a in sys.argv if a.startswith("--mem4n=")), mem)
     interleave = int(
         next((a.split("=")[1] for a in sys.argv if a.startswith("--interleave=")), 1)
     )
@@ -256,8 +277,8 @@ def main() -> None:
         # blocks.
         lo = hi = None
         for _ in range(max(interleave, 1)):
-            lo_b = run_level(1, sf_dir, amp_path, zip_path, runs, cores)
-            hi_b = run_level(4, sf_dir, amp_path, zip_path, runs, cores)
+            lo_b = run_level(1, sf_dir, amp_path, zip_path, runs, cores, mem)
+            hi_b = run_level(4, sf_dir, amp_path, zip_path, runs, cores, mem4n)
             if lo is None:
                 lo, hi = lo_b, hi_b
             else:
@@ -266,7 +287,8 @@ def main() -> None:
                     acc["stages"] += blk.get("stages", [])
                     acc["sec"] = min(acc["sec"], blk["sec"])
                     for fld in (
-                        "spool_bytes", "peak_executor_jvm_heap",
+                        "spool_bytes", "shuffle_write_bytes",
+                        "peak_executor_jvm_heap",
                         "total_gc_ms", "total_task_ms",
                     ):
                         if blk.get(fld):
@@ -288,8 +310,12 @@ def main() -> None:
         "times_at_4n": hi["times"],
         "stages_at_n": lo.get("stages"),
         "stages_at_4n": hi.get("stages"),
+        "executor_mem_at_n": mem,
+        "executor_mem_at_4n": mem4n,
         "spool_bytes_at_n": lo.get("spool_bytes"),
         "spool_bytes_at_4n": hi.get("spool_bytes"),
+        "shuffle_write_bytes_at_n": lo.get("shuffle_write_bytes"),
+        "shuffle_write_bytes_at_4n": hi.get("shuffle_write_bytes"),
         "peak_executor_jvm_heap_at_n": lo.get("peak_executor_jvm_heap"),
         "peak_executor_jvm_heap_at_4n": hi.get("peak_executor_jvm_heap"),
         "total_gc_ms_at_n": lo.get("total_gc_ms"),

@@ -66,19 +66,6 @@ def _vote_key_expr() -> F.Column:
     )
 
 
-def prune_votes_for_ensemble(votes: DataFrame) -> DataFrame:
-    """Collapse the 7 provenance columns (conv_id, turn_idx, sent_idx,
-    spans) into the single sortable ``_vote_key`` string and keep only
-    the ensemble's working set — 8 columns instead of 14. Applied
-    before the vote spool so both the parquet round-trip and the
-    ensemble stage's resident rows shrink; ``combine_votes`` recovers
-    the provenance fields from the winning key, so the final candidate
-    schema is unchanged."""
-    return votes.withColumn("_vote_key", _vote_key_expr()).select(
-        *GROUP_KEY, "extractor", "score", "_vote_key"
-    )
-
-
 def pre_aggregate_votes(votes: DataFrame) -> DataFrame:
     """Phase 1 of the two-phase ensemble: collapse the raw vote stream
     to one row per (RAW triple key, extractor) carrying that extractor's
@@ -90,11 +77,7 @@ def pre_aggregate_votes(votes: DataFrame) -> DataFrame:
     rows instead of the full stream, and THIS scan (the pipeline's
     biggest) has no dependency on the canon map, so it can run
     concurrently with the canonicalization window."""
-    keyed = (
-        votes
-        if "_vote_key" in votes.columns
-        else votes.withColumn("_vote_key", _vote_key_expr())
-    )
+    keyed = votes.withColumn("_vote_key", _vote_key_expr())
     return keyed.groupBy(*GROUP_KEY, "extractor").agg(
         F.max("score").alias("score"), F.min("_vote_key").alias("_vote_key")
     )
@@ -116,11 +99,7 @@ def combine_votes(
     """
     n_ext = n_extractors if n_extractors is not None else len(extractors)
 
-    keyed = (
-        votes
-        if pre_aggregated or "_vote_key" in votes.columns
-        else votes.withColumn("_vote_key", _vote_key_expr())
-    )
+    keyed = votes if pre_aggregated else votes.withColumn("_vote_key", _vote_key_expr())
     aggs = []
     for i, ex in enumerate(extractors):
         cond = F.col("extractor") == ex

@@ -27,7 +27,7 @@ from ..operators.canonicalize import (
     vote_surfaces,
 )
 from ..operators.consistency import apply_consistency
-from ..operators.ensemble import AGREE_MOST, combine_votes, prune_votes_for_ensemble
+from ..operators.ensemble import AGREE_MOST, combine_votes
 from ..operators.extractors import extract_votes, extract_votes_fused
 from ..operators.mentions import detect_mentions
 from ..sources.synthetic import (
@@ -148,16 +148,17 @@ def build_stages(
         # (measured: the ensemble's first run at local[32] was 10-20x
         # slower with checkpoint blocks resident; columnar spool keeps
         # the heap flat and the re-scan in whole-stage codegen).
-        # the spool is projected to the ensemble's working set: the 7
-        # provenance columns collapse into the single sortable
-        # _vote_key string HERE (one codegen projection inside the
-        # extraction pass), so the spool write/read and every row held
-        # through the ensemble stage carry 8 columns instead of 14 —
-        # the x256 scaling tail was executor-heap-bound, and this is
-        # the working-set half of that fix (BENCH/BASELINE.md)
-        "votes_cut": lambda: _parquet_spool(
-            prune_votes_for_ensemble(votes), spark, "votes"
-        ),
+        # The spool keeps the 14 RAW narrow columns — a measured
+        # negative result pinned this (BENCH/BASELINE.md r5):
+        # collapsing the 7 provenance columns into the sortable
+        # _vote_key string BEFORE the spool shrank the schema to 8
+        # columns but grew the parquet bytes 300MB -> 1.1GB at x128
+        # (the high-cardinality concat defeats dictionary encoding)
+        # and made the 4N ensemble tail GC-bound on string decode
+        # (32s -> 103s best). The key is instead computed inside the
+        # ensemble scan's codegen stage (combine_votes) and never
+        # stored.
+        "votes_cut": lambda: _parquet_spool(votes, spark, "votes"),
         # materialized: the surface set feeds the dictionary-edge,
         # wikidict, cascade AND alternate-name branches — one tiny cut
         # beats re-scanning the vote spool per branch
