@@ -88,6 +88,13 @@ def _logit_pair(prob: float) -> tuple[float, float]:
     return _clip(math.log(p)), _clip(math.log(1.0 - p))
 
 
+def _sigmoid(w: float) -> float:
+    if w >= 0:
+        return 1.0 / (1.0 + math.exp(-w))
+    e = math.exp(w)
+    return e / (1.0 + e)
+
+
 def make_acyclic(rules: list[Rule]) -> list[Rule]:
     """`BayesianLogicNetwork.makeAcyclic:34-72`: sort ascending by
     weight (the reference comparator — lowest first), greedily keep a
@@ -198,7 +205,6 @@ def _ground(
     rules: list[Rule],
     predicates: dict[str, tuple[str, str]],
     world: dict[str, set[tuple[str, str]]],
-    default_prior: float = DEFAULT_PRIOR,
 ) -> _Net:
     """rows: (entity_name, entity_type, relation, slot_value, slot_ner,
     score). Grounds priors, world facts, and the rule closure to a
@@ -279,9 +285,7 @@ def _ground(
                 antes = tuple(sorted(net.idx[k] for k in body_keys))
                 rkey = (rule.name, antes, hi)
                 if rkey not in net.rules:
-                    net.rules[rkey] = _logit_pair(
-                        1.0 / (1.0 + math.exp(-rule.weight))
-                    )
+                    net.rules[rkey] = _logit_pair(_sigmoid(rule.weight))
                     changed = True
     return net
 
@@ -402,8 +406,9 @@ def solve_map(
         if net.fixed.get(v):
             assign[v] = True
     for comp in _components(n, factors):
+        comp_set = set(comp)
         free = [v for v in comp if not net.fixed.get(v)]
-        comp_factors = [f for f in factors if f[0] in comp]
+        comp_factors = [f for f in factors if f[0] in comp_set]
         if not free:
             continue
         if len(free) <= max_exact_vars:
