@@ -18,18 +18,40 @@ forms (where a built-in exists) are preferred in plans:
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 CORP_SUFFIX_RX = re.compile(r"\s+(inc|ltd|corp|co|llc|corporation|company)\.?$", re.I)
 DETERMINER_RX = re.compile(r"^(the|a|an)\s+", re.I)
+_SPECIAL_RX = re.compile(r"[\\\"'-]")
 
 
 def no_special_chars(s: str) -> str:
     """Strip backslash, quotes and dashes; casefold (Utils.java:367-395)."""
-    return re.sub(r"[\\\"'-]", "", s).lower()
+    return _SPECIAL_RX.sub("", s).lower()
 
 
 def strip_corp(s: str) -> str:
     return CORP_SUFFIX_RX.sub("", DETERMINER_RX.sub("", s.strip()))
+
+
+# Normalization memos (guide §4.5 heavy-init-once analog at call level):
+# the cascade judges each surface against up to `max_block` partners, so
+# a surface's normalized form / token split / digit signature is
+# recomputed O(block) times both in the driver-local canon twin and in
+# the Arrow-batched judges. Bounded LRU keeps executor memory flat on
+# real corpora (surfaces per task are far under the cap anyway).
+@lru_cache(maxsize=1 << 18)
+def _corp_tokens(s: str) -> tuple[str, ...]:
+    """strip_corp(s).split() with original case (acronym matching needs
+    capitalization)."""
+    return tuple(strip_corp(s).split())
+
+
+@lru_cache(maxsize=1 << 18)
+def _norm_parts(s: str) -> tuple[str, tuple[str, ...], str]:
+    """(normalized form, its tokens, its digit signature)."""
+    n = no_special_chars(strip_corp(s))
+    return n, tuple(n.split()), _digits(n)
 
 
 def acronym(tokens: list[str]) -> str:
@@ -37,9 +59,12 @@ def acronym(tokens: list[str]) -> str:
     return "".join(t[0].upper() for t in tokens if t and t[0].isalpha())
 
 
+_NON_ALPHA_RX = re.compile(r"[^A-Za-z]")
+
+
 def is_acronym_of(short: str, long_tokens: list[str]) -> bool:
     """AcronymMatcher.isAcronym: short form == initials of the long form."""
-    s = re.sub(r"[^A-Za-z]", "", short).upper()
+    s = _NON_ALPHA_RX.sub("", short).upper()
     return len(s) > 1 and s == acronym(long_tokens)
 
 
@@ -64,14 +89,14 @@ OVERLAP_THRESHOLD = {"PERSON": 0.99, "ORGANIZATION": 0.75}
 def same_entity(a: str, b: str, entity_type: str = "ORGANIZATION") -> bool:
     """J8 cascade: returns True when the two surfaces plausibly denote
     one entity. Deterministic, order-independent."""
-    na, nb = no_special_chars(strip_corp(a)), no_special_chars(strip_corp(b))
+    na, ta, da = _norm_parts(a)
+    nb, tb, db = _norm_parts(b)
     if na == nb:
         return True
-    ta, tb = na.split(), nb.split()
     # acronym match (orgs)
     if entity_type == "ORGANIZATION" and (
-        is_acronym_of(a.strip(), strip_corp(b).split())
-        or is_acronym_of(b.strip(), strip_corp(a).split())
+        is_acronym_of(a.strip(), _corp_tokens(b))
+        or is_acronym_of(b.strip(), _corp_tokens(a))
     ):
         return True
     # token containment / overlap score
@@ -85,17 +110,16 @@ def same_entity(a: str, b: str, entity_type: str = "ORGANIZATION") -> bool:
     # but a DIGIT difference is never a typo ("Org004 Securities" vs
     # "Org009 Securities", "Boeing 737" vs "Boeing 747" are distinct
     # entities one edit apart): require identical digit sequences
-    if (
-        abs(len(na) - len(nb)) <= 1
-        and _digits(na) == _digits(nb)
-        and _lev_le1(na, nb)
-    ):
+    if abs(len(na) - len(nb)) <= 1 and da == db and _lev_le1(na, nb):
         return True
     return False
 
 
+_NON_DIGIT_RX = re.compile(r"\D+")
+
+
 def _digits(s: str) -> str:
-    return "".join(c for c in s if c.isdigit())
+    return _NON_DIGIT_RX.sub("", s)
 
 
 def _lev_le1(a: str, b: str) -> bool:
@@ -166,8 +190,7 @@ def normalize_date_slot(value: str) -> str | None:
 def blocking_key(name: str) -> str:
     """Candidate-pair blocking key (J8 at scale): normalized last token
     + first character — never O(n^2) pair generation."""
-    n = no_special_chars(strip_corp(name))
-    toks = n.split()
+    n, toks, _ = _norm_parts(name)
     if not toks:
         return ""
     return f"{toks[-1]}:{n[:1]}"
@@ -179,8 +202,7 @@ def blocking_key_ext(name: str) -> str:
     quadratic ('smith:j'); blocks over the cap re-key here, trading the
     pairs that differ inside the 3-char prefix (same recall trade the
     base key already makes at 1 char)."""
-    n = no_special_chars(strip_corp(name))
-    toks = n.split()
+    n, toks, _ = _norm_parts(name)
     if not toks:
         return ""
     return f"{toks[-1]}:{n[:3]}"
@@ -197,8 +219,7 @@ def blocking_key_first(name: str) -> str:
     Empty for single-token names (their last-token key already IS this
     key) — PERSONs never use it: the PERSON cascade requires a shared
     surname (last token), so first-name blocks could never merge."""
-    n = no_special_chars(strip_corp(name))
-    toks = n.split()
+    n, toks, _ = _norm_parts(name)
     if len(toks) < 2 or toks[0] == toks[-1]:
         return ""
     return f"{toks[0]}:{n[:1]}"
@@ -207,8 +228,7 @@ def blocking_key_first(name: str) -> str:
 def blocking_key_first_ext(name: str) -> str:
     """Hot-block re-key for the first-token family (first token + 3-char
     prefix), mirroring ``blocking_key_ext``."""
-    n = no_special_chars(strip_corp(name))
-    toks = n.split()
+    n, toks, _ = _norm_parts(name)
     if len(toks) < 2 or toks[0] == toks[-1]:
         return ""
     return f"{toks[0]}:{n[:3]}"

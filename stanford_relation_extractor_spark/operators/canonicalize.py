@@ -373,7 +373,14 @@ def build_canon_map_local(
         pure_members = [m for m in members if m in pure]
         rep = min(pure_members) if pure_members else c
         rows.extend((n, rep) for n in members if n != rep)
-    return spark.createDataFrame(sorted(rows) or [], "node string, rep string")
+    if not rows:
+        return spark.createDataFrame([], "node string, rep string")
+    # Arrow path for the driver->JVM transfer (a plain tuple list is
+    # pickled row-by-row; a pandas frame ships as Arrow batches)
+    import pandas as pd
+
+    pdf = pd.DataFrame(sorted(rows), columns=["node", "rep"])
+    return spark.createDataFrame(pdf, "node string, rep string")
 
 
 def build_canon_map(
@@ -418,18 +425,30 @@ def build_canon_map(
     # gate (the limit(n+1) makes the probe itself O(gate))
     local_max = _canon_local_max()
     if local_max > 0:
-        sample = surfaces.select("surface", "ner").limit(local_max + 1).collect()
+        # Arrow transfers (guide §6): .collect() pickles row-by-row —
+        # measured ~0.5s on the 75k-surface probe at sf0.1; toPandas()
+        # with arrow.pyspark.enabled moves the same rows as one Arrow
+        # batch stream. Values are converted back to plain Python
+        # str/float, so the local twin sees identical inputs.
+        sample = surfaces.select("surface", "ner").limit(local_max + 1).toPandas()
         if len(sample) <= local_max:
-            alias_rows = (
+            alias_pdf = (
                 alias_dict.select("alias", "canonical", "link_score")
                 .limit(4 * local_max + 1)
-                .collect()
+                .toPandas()
             )
-            if len(alias_rows) <= 4 * local_max:
+            if len(alias_pdf) <= 4 * local_max:
                 return build_canon_map_local(
                     surfaces.sparkSession,
-                    [(r[0], r[1]) for r in sample],
-                    [(r[0], r[1], float(r[2])) for r in alias_rows],
+                    list(zip(sample["surface"], sample["ner"])),
+                    [
+                        (a, c, float(s))
+                        for a, c, s in zip(
+                            alias_pdf["alias"],
+                            alias_pdf["canonical"],
+                            alias_pdf["link_score"],
+                        )
+                    ],
                     nicknames,
                     suffixes,
                     include_cascade,

@@ -548,7 +548,12 @@ def apply_consistency(
     # k18 (unrelated org:website) and k19 (invalid per:title) templates
     out = conform_to_guidelines(out)
     out = threshold_filter(out, threshold)
-    out = out.repartition(F.col("entity_name"), F.col("entity_type"))
+    # EXPLICIT partition count: a bare keyed repartition is AQE-coalesced
+    # to ~64MB partitions — measured 4 tasks carrying the whole 5-window
+    # tail at local[32] (1.0s for what 32 slots do in ~0.3s). Scale-
+    # adaptive (cluster parallelism), not a local[32] constant.
+    n_parts = triples.sparkSession.sparkContext.defaultParallelism
+    out = out.repartition(n_parts, F.col("entity_name"), F.col("entity_type"))
     if not assume_unique:
         out = dedup_exact(out)
     out = collapse_employee_member(out)

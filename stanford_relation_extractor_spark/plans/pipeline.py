@@ -92,7 +92,12 @@ def _parquet_spool(df: DataFrame, spark: SparkSession, name: str) -> DataFrame:
     # a real cluster gives each shuffle/spill dir). The pid in the
     # prefix makes a SIGKILLed session's leftovers (atexit never ran)
     # attributable and safely sweepable by the next session.
+    # Default: /dev/shm when present (guide §6 — the spool is re-scanned
+    # 3x within one run; RAM-backed scratch removes the disk round-trip),
+    # else the system tmpdir. Env always wins.
     scratch = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if scratch is None and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        scratch = "/dev/shm"
     if not _SPOOL_DIRS:
         atexit.register(_cleanup_spools)
         _sweep_dead_spools(scratch or tempfile.gettempdir())
