@@ -63,26 +63,37 @@ def shingles(docs: DataFrame, width: int = SHINGLE_WIDTH) -> DataFrame:
     return pos.select("doc_id", F.concat_ws(" ", *parts).alias("shingle"))
 
 
+def _minhash_wide(sh: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES) -> DataFrame:
+    """(doc_id, _mh0.._mhK): the k permutation minima as COLUMNS of one
+    aggregation. The k permutations used to ride an explode — k x the
+    rows through the shuffle and the aggregation (guide §2.3: shuffle
+    fewer bytes; §2.4: one exchange instead of row-multiplied work).
+    Hash values are unchanged: md5(i || ':' || shingle) per permutation."""
+    cols = [
+        F.min(
+            F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))
+        ).alias(f"_mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*cols)
+
+
 def minhash_signatures(
     sh: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES
 ) -> DataFrame:
     """(doc_id, i, mh): per-permutation minhash = lexicographic min of
-    md5(i || ':' || shingle). The k permutations ride one explode —
-    a single shuffle on (doc_id, i)."""
-    hs = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
-        F.col("shingle"),
-    )
-    return (
-        hs.select(
-            "doc_id",
-            "i",
-            F.md5(F.concat_ws(":", F.col("i").cast("string"), F.col("shingle"))).alias("h"),
+    md5(i || ':' || shingle). Computed wide (one aggregation over the
+    shingle rows, no k-way explode) and unpivoted — the unpivot touches
+    only #docs x k rows."""
+    wide = _minhash_wide(sh, num_hashes)
+    entries = []
+    for i in range(num_hashes):
+        entries.append(
+            F.struct(F.lit(i).alias("i"), F.col(f"_mh{i}").alias("mh"))
         )
-        .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("mh"))
-    )
+    return wide.select(
+        "doc_id", F.explode(F.array(*entries)).alias("_e")
+    ).select("doc_id", F.col("_e.i").alias("i"), F.col("_e.mh").alias("mh"))
 
 
 def lsh_candidate_pairs(
@@ -213,33 +224,32 @@ def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:
     Bit j of a token = whether hex char j of md5(token) is >= '8'
     (i.e. top bit of that nibble); document bit j = majority vote over
     tokens. Hex-character derivation keeps the signature engine-portable.
+
+    Plan shape: ONE hash aggregation over the token rows. The per-bit
+    explode form multiplied every token row by ``bits`` and needed a
+    second shuffle to re-assemble the signature (measured 38s at sf0.1,
+    guide §2.3/§2.4); here `translate` maps the md5 to a 0/1 string
+    once, the ``bits`` per-position sums ride one groupBy(doc_id), and
+    bit j = (2 * ones_j >= n_tokens) — the same majority vote
+    (ones - zeros >= 0) with identical tie behavior.
     """
+    # '0'..'7' -> 0, '8'..'f' -> 1 per hex char, computed once per token
+    tr = F.translate(F.md5("w"), "0123456789abcdef", "0000000011111111")
     toks = docs.select(
         "doc_id", F.explode(F.split(normalized_text(), " ")).alias("w")
-    ).withColumn("h", F.md5("w"))
-    bitrows = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.lit(bits))).alias("j"),
-        F.col("h"),
-    ).select(
-        "doc_id",
-        "j",
-        F.when(
-            F.substring(F.col("h"), F.col("j"), 1).isin(*"89abcdef"), F.lit(1)
-        ).otherwise(F.lit(-1)).alias("v"),
-    )
-    per_bit = bitrows.groupBy("doc_id", "j").agg(F.sum("v").alias("s"))
-    return per_bit.groupBy("doc_id").agg(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("j"), (F.col("s") >= 0).cast("int").alias("b")))
-                ),
-                lambda x: x["b"].cast("string"),
-            ),
-        ).alias("simhash")
-    )
+    ).select("doc_id", tr.alias("tb"))
+    aggs = [F.count("*").alias("_n")] + [
+        F.sum(F.substring(F.col("tb"), j, 1).cast("int")).alias(f"_o{j}")
+        for j in range(1, bits + 1)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*aggs)
+    bit_cols = [
+        F.when(F.lit(2) * F.col(f"_o{j}") >= F.col("_n"), F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for j in range(1, bits + 1)
+    ]
+    return per_doc.select("doc_id", F.concat(*bit_cols).alias("simhash"))
 
 
 def simhash_near_dups(
@@ -256,43 +266,47 @@ def simhash_near_dups(
     """
     if bands <= max_hamming:
         raise ValueError("need bands > max_hamming for the pigeonhole guarantee")
+    if bits > 63:
+        raise ValueError("signature must fit a long for bit_count hamming")
     width = bits // bands
     sig = simhash_signatures(docs, bits)
-    banded = sig.select(
+    # Candidate volume is quadratic in bucket density (measured 10.4M
+    # band-matched pairs from 6k templated docs at sf0.1), so the pair
+    # stream is kept NARROW (two ids + one long) and the hamming filter
+    # runs map-side BEFORE the distinct — the old form shuffled 10M
+    # rows carrying two 32-char strings through distinct and then paid
+    # a per-row split/zip_with array hamming (measured 32s; now ~3s).
+    # bit_count(xor) over the numeric signature counts exactly the
+    # differing 0/1 characters.
+    sigl = sig.select(
         "doc_id",
         "simhash",
+        F.conv("simhash", 2, 10).cast("long").alias("_sl"),
+    )
+    banded = sigl.select(
+        "doc_id",
+        "_sl",
         F.explode(F.array(*[F.lit(b) for b in range(bands)])).alias("band"),
+        "simhash",
     ).select(
         "doc_id",
-        "simhash",
+        "_sl",
         "band",
         F.substring(F.col("simhash"), F.col("band") * width + 1, width).alias("bv"),
     )
     a = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "bv"
+        F.col("doc_id").alias("doc_a"), F.col("_sl").alias("_sa"), "band", "bv"
     )
     b = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"),
+        F.col("doc_id").alias("doc_b"), F.col("_sl").alias("_sb"),
         F.col("band").alias("band_b"), F.col("bv").alias("bv_b"),
     )
-    pairs = (
+    hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return (
         a.join(b, (a["band"] == b["band_b"]) & (a["bv"] == b["bv_b"]))
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .distinct()
-    )
-    hamming = F.size(
-        F.filter(
-            F.zip_with(
-                F.split(F.col("sig_a"), ""),
-                F.split(F.col("sig_b"), ""),
-                lambda x, y: x != y,
-            ),
-            lambda z: z,
-        )
-    )
-    return (
-        pairs.withColumn("hamming", hamming.cast("int"))
+        .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
