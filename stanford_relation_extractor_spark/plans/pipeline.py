@@ -109,6 +109,26 @@ def _parquet_spool(df: DataFrame, spark: SparkSession, name: str) -> DataFrame:
     return spark.read.parquet(d)
 
 
+def _surfaces_cut(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Materialize the surface set once for its >=3 consumers.
+
+    Under the canon size gate the set is pulled to the driver as ONE
+    Arrow transfer and re-parallelized (tiny table — the canon probe
+    and the alternate-name join then cost microseconds); beyond the
+    gate it localCheckpoints as before. Replaces a 1.3s spool-rescan
+    checkpoint job + separate probe job with a single job at sandbox
+    scale, with no behavior change beyond the gate.
+    """
+    from ..operators.canonicalize import _canon_local_max
+
+    gate = _canon_local_max()
+    if gate > 0:
+        pdf = df.limit(gate + 1).toPandas()
+        if len(pdf) <= gate:
+            return spark.createDataFrame(pdf, df.schema)
+    return df.localCheckpoint(eager=True)
+
+
 class LazyStages(dict):
     """Stage dict whose missing keys are built (and memoized) on first
     access — canonicalization runs Spark actions, so building it at
@@ -167,9 +187,7 @@ def build_stages(
         # materialized: the surface set feeds the dictionary-edge,
         # wikidict, cascade AND alternate-name branches — one tiny cut
         # beats re-scanning the vote spool per branch
-        "surfaces": lambda: vote_surfaces(stages["votes_cut"]).localCheckpoint(
-            eager=True
-        ),
+        "surfaces": lambda: _surfaces_cut(vote_surfaces(stages["votes_cut"]), spark),
         "canon_map": lambda: build_canon_map(
             stages["surfaces"], alias_dict_df(spark, sf_dir), NICKNAMES, CORP_SUFFIXES
         ),
