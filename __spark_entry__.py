@@ -268,6 +268,10 @@ def _geo_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     resi = resi.withColumn(
         "slot_value", F.when(corrupt, F.lit("Atlantis")).otherwise(F.col("slot_value"))
     )
+    # lineage cut: validate + check together re-read their input ~6x
+    # (two union branches x three join branches); uncut that replays the
+    # full pipeline per branch. Same rows, one upstream execution.
+    resi = resi.localCheckpoint(eager=True)
     geo = geo_cities_df(spark, sf_dir)
     return check_geo_consistency(validate_city_slots(resi, geo), geo)
 

@@ -453,7 +453,7 @@ def greedy_consistency(triples: DataFrame) -> DataFrame:
 
     cardinality = {name: r.cardinality for name, r in RELATION_BY_NAME.items()}
 
-    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
         order = pdf.assign(
             _tok=pdf["slot_value"].str.split(" ").str.len(),
             _len=pdf["slot_value"].str.len(),
@@ -495,8 +495,15 @@ def greedy_consistency(triples: DataFrame) -> DataFrame:
         out = pd.DataFrame(accepted, columns=list(order.columns))
         return out.drop(columns=["_tok", "_len"])
 
-    return triples.groupBy("entity_name", "entity_type").applyInPandas(
-        run, schema=triples.schema
+    # ONE shuffle + ONE Arrow pass, groups iterated INSIDE the batch
+    # (functions/grouped.py): groupBy().applyInPandas ships every
+    # (entity, type) group as its own Arrow exchange + Python call —
+    # measured ~15s at sf0.01 for 3.4k tiny groups (per-group overhead,
+    # not compute; guide §4). 15s -> 2s.
+    from ..functions.grouped import map_groups_in_pandas
+
+    return map_groups_in_pandas(
+        triples, ["entity_name", "entity_type"], run, triples.schema
     )
 
 
