@@ -501,7 +501,9 @@ def infer_map_triples(
         )
         .distinct()
     )
-    comp = connected_components(edges)
+    # batched convergence checks / lineage cuts, as in the canon CC call
+    # (each check is a driver round-trip; cluster graphs are shallow)
+    comp = connected_components(edges, check_every=4, checkpoint_every=8)
     keyed = t.join(
         comp.withColumnRenamed("node", "entity_name").withColumnRenamed(
             "component", "_cluster"
