@@ -54,7 +54,9 @@ def map_groups_in_pandas(
 
         def emit_groups(pdf: pd.DataFrame) -> Iterator[pd.DataFrame]:
             nonlocal buffered
-            for _, g in pdf.groupby(keys, sort=False):
+            # dropna=False: groupBy().applyInPandas treats NULL keys as a
+            # group; pandas silently drops NaN groups by default.
+            for _, g in pdf.groupby(keys, sort=False, dropna=False):
                 out = fn(g)
                 if out is not None and len(out):
                     buffer.append(out)
@@ -72,7 +74,9 @@ def map_groups_in_pandas(
             last_key = tuple(pdf[k].iloc[-1] for k in keys)
             is_last = None
             for k, v in zip(keys, last_key):
-                cond = pdf[k] == v
+                # NaN-safe: `col == NaN` is all-False, which would split a
+                # NULL-keyed group across batches instead of carrying it.
+                cond = pdf[k].isna() if pd.isna(v) else (pdf[k] == v)
                 is_last = cond if is_last is None else (is_last & cond)
             leftover = pdf[is_last]
             body = pdf[~is_last]

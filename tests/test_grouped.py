@@ -78,6 +78,40 @@ def test_empty_group_outputs_are_dropped(spark, grouped_df):
     assert got.count() == 250
 
 
+def test_null_keys_match_apply_in_pandas(spark):
+    """NULL group keys: Spark groups them together; the clustered-pass
+    helper must too (pandas groupby drops NaN groups unless told not to,
+    and a NaN == NaN carry-over comparison is all-False)."""
+    from stanford_relation_extractor_spark.functions.grouped import (
+        map_groups_in_pandas,
+    )
+
+    # 12k null-keyed rows straddle at least one 10k Arrow batch boundary
+    df = spark.range(24000).select(
+        F.when(F.col("id") % 2 == 0, F.concat(F.lit("g"), (F.col("id") % 5).cast("string")))
+        .alias("k"),
+        F.col("id").cast("int").alias("v"),
+    )
+    schema = "k string, n int, vsum long"
+
+    def agg_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [(pdf["k"].iloc[0], len(pdf), int(pdf["v"].sum()))],
+            columns=["k", "n", "vsum"],
+        )
+
+    got = map_groups_in_pandas(df, ["k"], agg_group, schema)
+    ref = df.groupBy("k").applyInPandas(lambda key, pdf: agg_group(pdf), schema)
+
+    def rowset(d):  # None-safe sort (the null group's key is None)
+        return sorted((tuple(r) for r in d.collect()), key=repr)
+
+    assert rowset(got) == rowset(ref)
+    # the null group is present exactly once, on its complete 12k rows
+    assert got.count() == 6
+    assert got.agg(F.sum("n")).collect()[0][0] == 24000
+
+
 def test_greedy_consistency_unchanged_vs_apply_in_pandas(spark):
     """The r6 greedy rewrite must keep the accepted set bit-identical."""
     import stanford_relation_extractor_spark.operators.consistency as C
